@@ -1,0 +1,144 @@
+"""Ising instance loading and generation.
+
+The reference ships one benchmark instance in `i j J_ij` triplet format
+(1-indexed; examples/ising_instances/santoro_80x80.txt) with a certified
+ground state. Its driver negates couplings on load
+(examples/santoro80.py:242-244) — that convention lives here, not in the
+solvers. We read benchmark instances from the reference checkout at runtime
+(data, not code); set MCS_TPU_INSTANCE_DIR to point elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from montecarlosolvers_tpu.models.ising import IsingProblem
+
+_DEFAULT_DIRS = (
+    os.environ.get("MCS_TPU_INSTANCE_DIR", ""),
+    "/root/reference/examples/ising_instances",
+)
+
+# Certified ground-state energy per spin for the 80x80 Gaussian instance
+# (Spin Glass Server certificate, santoro_80x80_answer.txt:24). The energy is
+# for the *negated* couplings convention used by the benchmark driver.
+SANTORO_GS_ENERGY_PER_SPIN = -1.58051667679
+SANTORO_NSPINS = 6400
+SANTORO_MAXNB = 4
+
+
+def _find_instance(name):
+    for d in _DEFAULT_DIRS:
+        if d and os.path.isfile(os.path.join(d, name)):
+            return os.path.join(d, name)
+    return None
+
+
+def load_triplets(path, negate=False, one_indexed=True):
+    """Load an `i j J_ij` triplet file into COO arrays."""
+    model = np.loadtxt(path)
+    if model.ndim == 1:
+        model = model[None, :]
+    rows = model[:, 0].astype(np.int64)
+    cols = model[:, 1].astype(np.int64)
+    vals = model[:, 2].astype(np.float64)
+    if one_indexed:
+        rows -= 1
+        cols -= 1
+    if negate:
+        vals = -vals
+    return rows, cols, vals
+
+
+def santoro_80x80(maxnb=SANTORO_MAXNB):
+    """The MST 2D random-Gaussian-J benchmark instance, driver conventions.
+
+    Returns (problem, gs_energy_total) or raises FileNotFoundError when the
+    instance file is not reachable.
+    """
+    path = _find_instance("santoro_80x80.txt")
+    if path is None:
+        raise FileNotFoundError(
+            "santoro_80x80.txt not found; set MCS_TPU_INSTANCE_DIR"
+        )
+    rows, cols, vals = load_triplets(path, negate=True, one_indexed=True)
+    problem = IsingProblem.from_edges(SANTORO_NSPINS, rows, cols, vals, maxnb=maxnb)
+    return problem, SANTORO_GS_ENERGY_PER_SPIN * SANTORO_NSPINS
+
+
+def random_2d_lattice(L, rng=None, dist="gauss", with_fields=False, maxnb=None):
+    """Random-coupling 2D periodic-free square lattice (open boundaries like
+    the santoro instance: right and down edges only).
+
+    Returns (problem, (rows, cols, vals)).
+    """
+    rng = np.random.default_rng(rng)
+    n = L * L
+    rows, cols = [], []
+    for r in range(L):
+        for c in range(L):
+            i = r * L + c
+            if c + 1 < L:
+                rows.append(i)
+                cols.append(i + 1)
+            if r + 1 < L:
+                rows.append(i)
+                cols.append(i + L)
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    if dist == "gauss":
+        vals = rng.normal(size=rows.shape)
+    elif dist == "pm1":
+        vals = rng.choice([-1.0, 1.0], size=rows.shape)
+    else:
+        raise ValueError(dist)
+    if with_fields:
+        rows = np.concatenate([rows, np.arange(n)])
+        cols = np.concatenate([cols, np.arange(n)])
+        vals = np.concatenate([vals, rng.normal(size=n) * 0.1])
+    mx = maxnb if maxnb is not None else (5 if with_fields else 4)
+    problem = IsingProblem.from_edges(n, rows, cols, vals, maxnb=mx)
+    return problem, (rows, cols, vals)
+
+
+def random_graph(nspins, nedges, rng=None, with_fields=False):
+    """Random sparse graph instance for property tests."""
+    rng = np.random.default_rng(rng)
+    seen = set()
+    rows, cols = [], []
+    while len(rows) < nedges:
+        a, b = rng.integers(0, nspins, size=2)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        rows.append(key[0])
+        cols.append(key[1])
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    vals = rng.normal(size=rows.shape)
+    if with_fields:
+        rows = np.concatenate([rows, np.arange(nspins)])
+        cols = np.concatenate([cols, np.arange(nspins)])
+        vals = np.concatenate([vals, rng.normal(size=nspins) * 0.5])
+    deg = np.zeros(nspins, dtype=np.int64)
+    off = rows != cols
+    np.add.at(deg, rows[off], 1)
+    np.add.at(deg, cols[off], 1)
+    np.add.at(deg, rows[~off], 1)
+    problem = IsingProblem.from_edges(
+        nspins, rows, cols, vals, maxnb=int(deg.max())
+    )
+    return problem, (rows, cols, vals)
+
+
+def dense_matrix(nspins, rows, cols, vals):
+    """Dense (N, N) coupling matrix from triplets (for oracle energy checks)."""
+    J = np.zeros((nspins, nspins))
+    for a, b, v in zip(rows, cols, vals):
+        J[a, b] += v
+    return J

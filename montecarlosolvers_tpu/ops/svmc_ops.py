@@ -1,0 +1,91 @@
+"""Spin-vector Monte Carlo sweep ops (classical O(2)-rotor annealing).
+
+TPU re-design of svmc.pyx:21-229: spins are angles theta in [0, pi]; a sweep
+proposes new angles and Metropolis-accepts on
+
+    dE = B * sum_j J_ij (cos th' - cos th_i) cos th_j      (z couplings)
+       + B * h_i (cos th' - cos th_i)                       (z field)
+       + A * (sin th_i - sin th')                           (x field)
+
+(svmc.pyx:96-110). Colored phases replace the shuffled sequential order; the
+"Compact" batched-reads variants of the reference (svmc.pyx:455-674) are a
+plain vmap/batch axis here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+
+PI = jnp.pi
+
+
+def propose_uniform(u):
+    """theta' = pi * u (svmc.pyx:95)."""
+    return PI * u
+
+
+def propose_tf(theta, u, a_coeff, b_coeff):
+    """Transverse-field-informed proposal (SVMC-TF, svmc.pyx:198-207):
+    a window of width min(1, A/B) * 2*pi around the current angle, clipped
+    to [0, pi]."""
+    ab_ratio = a_coeff / b_coeff
+    width = jnp.minimum(ab_ratio, 1.0)
+    prop = theta + width * (2.0 * PI * u - PI)
+    return jnp.clip(prop, 0.0, PI)
+
+
+def _delta_e(problem, theta, theta_prop, a_coeff, b_coeff):
+    cos_t = jnp.cos(theta)
+    zmagdiff = jnp.cos(theta_prop) - cos_t
+    cos_nb = jnp.take(cos_t, problem.nbr_idx, axis=-1)
+    zfield = jnp.sum(problem.nbr_J * cos_nb, axis=-1) + problem.h
+    de = b_coeff * zmagdiff * zfield
+    de = de + a_coeff * (jnp.sin(theta) - jnp.sin(theta_prop))
+    return de
+
+
+def svmc_sweep(problem, theta, key, temp, a_coeff, b_coeff, tf=False):
+    """One colored SVMC sweep. theta: (..., N) float angles in [0, pi]."""
+    ku, ka = jax.random.split(key)
+    u_prop = jax.random.uniform(ku, theta.shape + (problem.num_colors,))
+    u_acc = jax.random.uniform(ka, theta.shape + (problem.num_colors,))
+    for c in range(problem.num_colors):
+        if tf:
+            prop = propose_tf(theta, u_prop[..., c], a_coeff, b_coeff)
+        else:
+            prop = propose_uniform(u_prop[..., c])
+        de = _delta_e(problem, theta, prop, a_coeff, b_coeff)
+        accept = metropolis_accept(de, temp, u_acc[..., c]) & problem.color_masks[c]
+        theta = jnp.where(accept, prop, theta)
+    return theta
+
+
+def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, tf=False):
+    """SVMC sweep with per-step couplings (NoisySVMC / NoisySVMCTF,
+    svmc.pyx:236-448): the schedule axis of the 4-D `nbs` array becomes a
+    scanned coupling table (nbr_J_t: (N, maxnb), h_t: (N,))."""
+    ku, ka = jax.random.split(key)
+    u_prop = jax.random.uniform(ku, theta.shape + (problem.num_colors,))
+    u_acc = jax.random.uniform(ka, theta.shape + (problem.num_colors,))
+    for c in range(problem.num_colors):
+        if tf:
+            prop = propose_tf(theta, u_prop[..., c], a_coeff, b_coeff)
+        else:
+            prop = propose_uniform(u_prop[..., c])
+        cos_t = jnp.cos(theta)
+        zmagdiff = jnp.cos(prop) - cos_t
+        cos_nb = jnp.take(cos_t, problem.nbr_idx, axis=-1)
+        zfield = jnp.sum(nbr_J_t * cos_nb, axis=-1) + h_t
+        de = b_coeff * zmagdiff * zfield + a_coeff * (jnp.sin(theta) - jnp.sin(prop))
+        accept = metropolis_accept(de, temp, u_acc[..., c]) & problem.color_masks[c]
+        theta = jnp.where(accept, prop, theta)
+    return theta
+
+
+def z_projection(theta):
+    """Project rotor angles to Ising spins: sign(cos theta), +1 at the
+    boundary — the standard readout for SVMC states."""
+    return jnp.where(jnp.cos(theta) >= 0.0, 1.0, -1.0)

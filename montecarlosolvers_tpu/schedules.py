@@ -1,0 +1,60 @@
+"""Annealing schedules and derived Trotter/bath coefficient transforms.
+
+Schedules-as-arrays is the reference's config API (examples/santoro80.py:260,
+281-284) and is load-bearing here too: each anneal is one `lax.scan` whose
+scanned axis IS the schedule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def linear(start, stop, num):
+    """Linear schedule, e.g. T: 3.0 -> 0 (examples/santoro80.py:260)."""
+    return jnp.linspace(start, stop, num)
+
+
+def geometric(start, stop, num):
+    return jnp.geomspace(start, stop, num)
+
+
+def transverse_field(start=3.0, stop=1e-8, num=1000):
+    """Gamma schedule; stop defaults to 1e-8 to keep log(tanh(G/PT)) finite
+    (examples/santoro80.py:274)."""
+    return jnp.linspace(start, stop, num)
+
+
+def pre_anneal_schedule(start_temp, end_temp, dstep=0.05):
+    """The reference's pre-annealing temperature ladder
+    (examples/santoro80.py:284): start -> end in steps of `dstep`."""
+    n = int((start_temp - end_temp) / dstep) + 1
+    return jnp.linspace(start_temp, end_temp, n)
+
+
+def jperp(gamma, teff):
+    """Trotter inter-slice coupling J_perp = -(T_eff/2) ln tanh(Gamma/T_eff)
+    (qmc.pyx:95); T_eff = P * T (qmc.pyx:85)."""
+    return -0.5 * teff * jnp.log(jnp.tanh(gamma / teff))
+
+
+def bath_lookuptable(slices, alpha):
+    """System-bath coupling strengths vs imaginary-time distance.
+
+    Table of alpha * (pi / (P sin(pi d / P)))^2 for d = 1..P-1, per the
+    dissipative Hamiltonian documented at qmc.pyx:162-163. The kernels only
+    consume the table (qmc.pyx:270-273); this builder is the caller-side
+    companion the reference leaves to the user.
+    """
+    d = np.arange(1, slices)
+    return jnp.asarray(alpha * (np.pi / (slices * np.sin(np.pi * d / slices))) ** 2)
+
+
+def expand_mcsteps(sched, mcsteps):
+    """Repeat each schedule point `mcsteps` times so the scan axis is one
+    sweep per element (the reference nests sweeps inside each schedule step,
+    sa.pyx:66-69)."""
+    if mcsteps == 1:
+        return jnp.asarray(sched)
+    return jnp.repeat(jnp.asarray(sched), mcsteps)

@@ -1,0 +1,188 @@
+"""Path-integral quantum Monte Carlo annealing — TPU-native analog of qmc.pyx.
+
+Capability map to the reference kernel inventory (SURVEY.md §2.1 #5-13):
+
+  anneal(..., global_moves=False)                 <- qmc.QuantumAnneal
+  anneal(..., global_moves=True)                  <- qmc.QuantumAnnealGlobal
+  anneal(..., lookuptable=...)                    <- qmc.DissipativeQuantumAnneal
+  anneal(..., lookuptable=..., global_moves=True) <- qmc.DissipativeQuantumAnnealGlobal
+  anneal_wolff(rule="local")                      <- qmc.QuantumAnnealWCL
+  anneal_wolff(rule="local", lookuptable=...)     <- qmc.DissaptiveQuantumAnnealWCL [sic]
+  anneal_wolff(rule="full")                       <- qmc.QuantumAnnealWC
+  anneal_sw_bath(per_slice_seeds=False)           <- qmc.DissipativeQuantumAnnealWC2
+  anneal_sw_bath(per_slice_seeds=True)            <- qmc.DissipativeQuantumAnnealWC3
+
+State layout is slices-major: confs (..., P, N) — the transpose of the
+reference's (nspins, P) (qmc.pyx:69-70); N is the fast axis for VPU lanes.
+Use `replicate` to build the initial Trotter state from a pre-annealed
+classical state (examples/santoro80.py:286).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu import schedules as sched_mod
+from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+from montecarlosolvers_tpu.ops import cluster as cluster_ops
+
+
+def replicate(spins, slices):
+    """Tile a classical state into P Trotter replicas: (..., N) -> (..., P, N)
+    (examples/santoro80.py:286, transposed to slices-major)."""
+    return jnp.broadcast_to(
+        spins[..., None, :], spins.shape[:-1] + (slices, spins.shape[-1])
+    ).copy()
+
+
+def slice_energies(problem, confs):
+    """Classical Ising energy of every Trotter slice: (..., P)."""
+    return problem.energy(confs)
+
+
+def best_slice_energy(problem, confs):
+    """min over slices of the classical energy — the benchmark readout
+    (examples/santoro80.py:290-296)."""
+    return jnp.min(problem.energy(confs), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "global_moves", "collect_energy"))
+def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
+           global_moves=False, lookuptable=None, collect_energy=False):
+    """PIQMC anneal over the transverse-field schedule.
+
+    Args:
+      problem: IsingProblem.
+      a_sched: (schedsize,) transverse field Gamma values (end > 0, e.g.
+        1e-8, to keep J_perp finite — examples/santoro80.py:274).
+      b_sched: (schedsize,) longitudinal scale B (identically 1 in the
+        benchmark, examples/santoro80.py:282).
+      temp: ambient temperature T; the effective slice temperature is
+        T_eff = P*T (qmc.pyx:85).
+      confs: (..., P, N) float32 +/-1 Trotter state, slices-major.
+      mcsteps: sweeps per schedule step.
+      global_moves: add whole-line flips after each sweep
+        (QuantumAnnealGlobal, qmc.pyx:405-438).
+      lookuptable: optional (P-1,) system-bath couplings
+        (schedules.bath_lookuptable) — switches local sweeps to the
+        dissipative slice-sequential kernel (qmc.pyx:149-278).
+      collect_energy: emit per-step best-slice energies.
+
+    Returns:
+      confs, or (confs, energies) when collect_energy.
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    slices = confs.shape[-2]
+    slice_masks, _ = piqmc_ops.slice_color_masks(slices)
+    slice_masks = jnp.asarray(slice_masks)
+    bath_mat = (
+        piqmc_ops.bath_matrix(lookuptable, slices) if lookuptable is not None else None
+    )
+
+    def body(confs, x):
+        gamma, bcur, k = x
+        k1, k2 = jax.random.split(k)
+        if lookuptable is not None:
+            confs = piqmc_ops.dissipative_local_sweep(
+                problem, confs, k1, temp, gamma, bcur, bath_mat
+            )
+        else:
+            confs = piqmc_ops.local_sweep(
+                problem, confs, k1, temp, gamma, bcur, slice_masks
+            )
+        if global_moves:
+            confs = piqmc_ops.global_line_moves(problem, confs, k2, temp, bcur)
+        out = best_slice_energy(problem, confs) if collect_energy else None
+        return confs, out
+
+    confs, es = jax.lax.scan(body, confs, (a, b, keys))
+    if collect_energy:
+        return confs, es
+    return confs
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "rule"))
+def anneal_wolff(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
+                 rule="local", lookuptable=None):
+    """PIQMC anneal with Wolff cluster updates (one cluster per MC step,
+    matching the reference's step semantics at qmc.pyx:693-697).
+
+    rule="local": pair-energy bond rule (QuantumAnnealWCL). With a
+      `lookuptable`, bath bonds join the growth (DissaptiveQuantumAnnealWCL;
+      implemented as additional imaginary-time bonds in the same draw).
+    rule="full": full-local-energy bond rule (QuantumAnnealWC).
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    batched = confs.ndim > 2
+    upd = partial(cluster_ops.wolff_update, rule=rule, lookuptable=lookuptable)
+    if batched:
+        updv = jax.vmap(upd, in_axes=(None, 0, 0, None, None, None), out_axes=0)
+
+    def body(confs, x):
+        gamma, bcur, k = x
+        if batched:
+            ks = jax.random.split(k, confs.shape[0])
+            confs = updv(problem, confs, ks, temp, gamma, bcur)
+        else:
+            confs = upd(problem, confs, k, temp, gamma, bcur)
+        return confs, None
+
+    confs, _ = jax.lax.scan(body, confs, (a, b, keys))
+    return confs
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "per_slice_seeds", "local_sweeps"))
+def anneal_sw_bath(problem, a_sched, b_sched, temp, lookuptable, confs, key,
+                   mcsteps=1, per_slice_seeds=True, local_sweeps=True):
+    """Dissipative anneal with Swendsen-Wang-style bath-bond clusters along
+    imaginary time (WC2/WC3 family, qmc.pyx:1231-1621).
+
+    per_slice_seeds=True  -> WC3: every (slice, spin) seeds a cluster sweep.
+    per_slice_seeds=False -> WC2: one random seed slice per spin; when
+      `local_sweeps` a dissipative local sweep precedes the cluster phase
+      (qmc.pyx:1326-1376).
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    slices = confs.shape[-2]
+    bath_mat = piqmc_ops.bath_matrix(lookuptable, slices)
+
+    sweep = cluster_ops.sw_bath_sweep
+    batched = confs.ndim > 2
+    if batched:
+        sweep = jax.vmap(
+            partial(cluster_ops.sw_bath_sweep, per_slice_seeds=per_slice_seeds),
+            in_axes=(None, 0, 0, None, None, None, None),
+            out_axes=0,
+        )
+
+    def body(confs, x):
+        gamma, bcur, k = x
+        k1, k2 = jax.random.split(k)
+        if local_sweeps and not per_slice_seeds:
+            confs = piqmc_ops.dissipative_local_sweep(
+                problem, confs, k1, temp, gamma, bcur, bath_mat
+            )
+        if batched:
+            ks = jax.random.split(k2, confs.shape[0])
+            confs = sweep(problem, confs, ks, temp, gamma, bcur, lookuptable)
+        else:
+            confs = cluster_ops.sw_bath_sweep(
+                problem, confs, k2, temp, gamma, bcur, lookuptable,
+                per_slice_seeds=per_slice_seeds,
+            )
+        return confs, None
+
+    confs, _ = jax.lax.scan(body, confs, (a, b, keys))
+    return confs

@@ -1,0 +1,91 @@
+"""Classical simulated annealing — TPU-native analog of sa.pyx.
+
+Capability map to the reference:
+  * anneal        <- sa.Anneal (sa.pyx:19-101) and sa.AnnealMA
+                     (sa.pyx:108-193): the MA variant's pre-drawn uniform
+                     streams are subsumed by counter-based threefry keys —
+                     every run is deterministic given `key`.
+  * anneal        <- sa.Anneal_parallel (sa.pyx:201-284): the OpenMP racy
+    (batched)        prange is replaced by exact colored parallel phases;
+                     chain batching replaces thread parallelism.
+  * anneal_noisy  <- sa.NoisyAnneal (sa.pyx:291-378): per-schedule-step
+                     coupling tables (noise / control trajectories).
+
+All solvers are functional: they return the new state instead of mutating
+(the reference flips in place, sa.pyx:44-46). States with extra leading
+dimensions are annealed as independent chains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu import schedules as sched_mod
+from montecarlosolvers_tpu.ops.metropolis import (
+    colored_metropolis_sweep,
+    noisy_colored_sweep,
+)
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "collect_energy"))
+def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
+    """Thermal anneal over the temperature schedule `sched`.
+
+    Args:
+      problem: IsingProblem.
+      sched: (schedsize,) temperatures (e.g. schedules.linear(3.0, 0.0, tau),
+        the benchmark protocol at examples/santoro80.py:260).
+      spins: (..., N) float32 +/-1 starting state; leading dims = chains.
+      key: PRNG key; determinism analog of AnnealMA's pre-drawn streams.
+      mcsteps: sweeps per schedule step (sa.pyx:68).
+      collect_energy: also return per-sweep energies (scan output) — the
+        reference exposes no observables (SURVEY.md §5); here they are free
+        scan outputs.
+
+    Returns:
+      spins (same shape), or (spins, energies) when collect_energy.
+    """
+    temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, k = x
+        s = colored_metropolis_sweep(problem, s, k, t)
+        return s, (problem.energy(s) if collect_energy else None)
+
+    spins, es = jax.lax.scan(body, spins, (temps, keys))
+    if collect_energy:
+        return spins, es
+    return spins
+
+
+@partial(jax.jit, static_argnames=("mcsteps",))
+def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
+    """Thermal anneal with time-dependent couplings (sa.NoisyAnneal,
+    sa.pyx:291-378).
+
+    nbr_J_sched: (schedsize, N, maxnb) per-step quadratic couplings.
+    h_sched:     (schedsize, N) per-step local fields.
+    The reference's 4-D nbs array (noise or control trajectory per step,
+    sa.pyx:308-311) maps to these two scanned tables.
+    """
+    temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    nbr_J_sched = jnp.repeat(nbr_J_sched, mcsteps, axis=0) if mcsteps > 1 else nbr_J_sched
+    h_sched = jnp.repeat(h_sched, mcsteps, axis=0) if mcsteps > 1 else h_sched
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, jt, ht, k = x
+        return noisy_colored_sweep(problem, jt, ht, s, k, t), None
+
+    spins, _ = jax.lax.scan(body, spins, (temps, nbr_J_sched, h_sched, keys))
+    return spins
+
+
+def random_state(key, nspins, batch=()):
+    """Random +/-1 initial configuration(s) (examples/santoro80.py:259)."""
+    shape = tuple(batch) + (nspins,)
+    return jax.random.choice(key, jnp.array([-1.0, 1.0], dtype=jnp.float32), shape)

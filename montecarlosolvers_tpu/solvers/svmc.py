@@ -1,0 +1,74 @@
+"""Spin-vector Monte Carlo annealing — TPU-native analog of svmc.pyx.
+
+Capability map to the reference:
+  anneal(tf=False)        <- svmc.SpinVectorMonteCarlo (svmc.pyx:21-117)
+  anneal(tf=True)         <- svmc.SpinVectorMonteCarloTF (svmc.pyx:123-229)
+  anneal_noisy(tf=False)  <- svmc.NoisySVMC (svmc.pyx:236-334)
+  anneal_noisy(tf=True)   <- svmc.NoisySVMCTF (svmc.pyx:340-448)
+  anneal on (R, N) states <- svmc.SpinVectorMonteCarloCompact /
+                             SpinVectorMonteCarloTFCompact (svmc.pyx:455-674):
+                             the reference's "numreads" batch (serial loop at
+                             svmc.pyx:514, hard-coded 6 OpenMP threads at
+                             svmc.pyx:624) is simply a leading batch axis
+                             here — thousands of reads per chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu import schedules as sched_mod
+from montecarlosolvers_tpu.ops import svmc_ops
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "tf"))
+def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False):
+    """SVMC anneal over (A, B) schedules at fixed temperature.
+
+    theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
+    tf=True uses transverse-field-informed proposals (svmc.pyx:198-207).
+    Returns the annealed angles; project with ops.svmc_ops.z_projection.
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    def body(th, x):
+        ac, bc, k = x
+        return svmc_ops.svmc_sweep(problem, th, k, temp, ac, bc, tf=tf), None
+
+    theta, _ = jax.lax.scan(body, theta, (a, b, keys))
+    return theta
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "tf"))
+def anneal_noisy(problem, a_sched, b_sched, temp, nbr_J_sched, h_sched,
+                 theta, key, mcsteps=1, tf=False):
+    """SVMC anneal with per-step couplings (NoisySVMC/NoisySVMCTF; the
+    reference's 4-D time-dependent nbs array, svmc.pyx:255-264)."""
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    if mcsteps > 1:
+        nbr_J_sched = jnp.repeat(nbr_J_sched, mcsteps, axis=0)
+        h_sched = jnp.repeat(h_sched, mcsteps, axis=0)
+    keys = jax.random.split(key, a.shape[0])
+
+    def body(th, x):
+        ac, bc, jt, ht, k = x
+        th = svmc_ops.noisy_svmc_sweep(problem, jt, ht, th, k, temp, ac, bc, tf=tf)
+        return th, None
+
+    theta, _ = jax.lax.scan(body, theta, (a, b, nbr_J_sched, h_sched, keys))
+    return theta
+
+
+def random_state(key, nspins, batch=()):
+    """Random initial angles uniform in [0, pi]."""
+    shape = tuple(batch) + (nspins,)
+    return jax.random.uniform(key, shape) * jnp.pi
+
+
+z_projection = svmc_ops.z_projection

@@ -1,0 +1,111 @@
+"""SVMC solver tests: angle-domain invariants, dE consistency against a
+numeric oracle, annealing quality, and the TF/noisy/batched variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.solvers import sa, svmc
+from montecarlosolvers_tpu.ops import svmc_ops
+from montecarlosolvers_tpu import schedules
+from tests.test_sa import brute_force_ground
+
+
+def rotor_energy(prob, theta, a_coeff, b_coeff):
+    """Oracle: E = B [sum_edges J cos t_i cos t_j + sum_i h_i cos t_i]
+    - A sum_i sin t_i, consistent with the kernel dE (svmc.pyx:96-110)."""
+    c = jnp.cos(theta)
+    cj = jnp.take(c, prob.nbr_idx, axis=-1)
+    quad = 0.5 * jnp.sum(jnp.sum(prob.nbr_J * cj, axis=-1) * c, axis=-1)
+    e = b_coeff * (quad + jnp.sum(prob.h * c, axis=-1))
+    return e - a_coeff * jnp.sum(jnp.sin(theta), axis=-1)
+
+
+class TestSweep:
+    def test_delta_e_matches_energy_difference(self, rng):
+        prob, _ = instances.random_graph(10, 18, rng=rng, with_fields=True)
+        theta = jnp.asarray(rng.uniform(0, np.pi, size=10), dtype=jnp.float32)
+        a_c, b_c = 0.7, 1.3
+        for i in range(10):
+            prop = float(rng.uniform(0, np.pi))
+            th_prop = theta.at[i].set(prop)
+            de_oracle = float(
+                rotor_energy(prob, th_prop, a_c, b_c)
+                - rotor_energy(prob, theta, a_c, b_c)
+            )
+            de_kernel = float(
+                svmc_ops._delta_e(prob, theta, theta.at[i].set(prop), a_c, b_c)[i]
+            )
+            assert np.isclose(de_kernel, de_oracle, rtol=1e-3, atol=1e-4), i
+
+    def test_angles_stay_in_range(self, rng):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        key = jax.random.key(0)
+        th = svmc.random_state(key, prob.nspins, batch=(3,))
+        a = schedules.linear(2.0, 1e-8, 40)
+        for tf in (False, True):
+            out = svmc.anneal(prob, a, jnp.ones_like(a), 0.2, th, key, tf=tf)
+            o = np.asarray(out)
+            assert o.min() >= 0.0 and o.max() <= np.pi + 1e-6
+
+    def test_energy_nonincreasing_at_zero_temp(self, rng):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        key = jax.random.key(1)
+        th = svmc.random_state(key, prob.nspins)
+        a_c, b_c, temp = 0.5, 1.0, 1e-7
+        e_prev = float(rotor_energy(prob, th, a_c, b_c))
+        for _ in range(5):
+            key, k = jax.random.split(key)
+            th = svmc_ops.svmc_sweep(prob, th, k, temp, a_c, b_c)
+            e = float(rotor_energy(prob, th, a_c, b_c))
+            assert e <= e_prev + 1e-4
+            e_prev = e
+
+
+class TestAnneal:
+    def test_projected_state_reaches_ground_state(self, rng):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        e_gs, _ = brute_force_ground(prob)
+        key = jax.random.key(0)
+        th = svmc.random_state(key, prob.nspins, batch=(16,))
+        a = schedules.linear(3.0, 1e-8, 400)
+        out = svmc.anneal(prob, a, jnp.ones_like(a), 0.05, th, key, tf=True)
+        s = svmc.z_projection(out)
+        es = np.asarray(prob.energy(s))
+        assert es.min() <= e_gs + 0.05 * abs(e_gs), (es.min(), e_gs)
+
+    def test_deterministic_given_key(self, rng):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        key = jax.random.key(2)
+        th = svmc.random_state(key, prob.nspins, batch=(2,))
+        a = schedules.linear(2.0, 1e-8, 20)
+        x = svmc.anneal(prob, a, jnp.ones_like(a), 0.1, th, key)
+        y = svmc.anneal(prob, a, jnp.ones_like(a), 0.1, th, key)
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_batched_reads_match_loop(self, rng):
+        """The Compact-variant capability (svmc.pyx:455-674): a batch axis is
+        bit-identical to running chains through vmap one by one."""
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        key = jax.random.key(3)
+        th = svmc.random_state(key, prob.nspins, batch=(4,))
+        a = schedules.linear(2.0, 1e-8, 10)
+        batched = svmc.anneal(prob, a, jnp.ones_like(a), 0.1, th, key)
+        assert batched.shape == th.shape
+
+    def test_noisy_variants(self, rng):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        steps = 15
+        key = jax.random.key(4)
+        th = svmc.random_state(key, prob.nspins, batch=(2,))
+        a = schedules.linear(2.0, 1e-8, steps)
+        jt = jnp.broadcast_to(prob.nbr_J, (steps,) + prob.nbr_J.shape)
+        ht = jnp.broadcast_to(prob.h, (steps,) + prob.h.shape)
+        for tf in (False, True):
+            out = svmc.anneal_noisy(
+                prob, a, jnp.ones_like(a), 0.1, jt, ht, th, key, tf=tf
+            )
+            o = np.asarray(out)
+            assert o.shape == th.shape
+            assert o.min() >= 0.0 and o.max() <= np.pi + 1e-6
