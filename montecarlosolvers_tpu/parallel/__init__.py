@@ -1,0 +1,8 @@
+from montecarlosolvers_tpu.parallel.mesh import (
+    make_mesh,
+    shard_chains,
+    chain_sharding,
+)
+from montecarlosolvers_tpu.parallel import trotter
+
+__all__ = ["make_mesh", "shard_chains", "chain_sharding", "trotter"]

@@ -1,0 +1,236 @@
+"""Trotter-axis sharding: PIQMC with the imaginary-time ring spread over a
+device mesh axis.
+
+The reference's Trotter loop is a serial array axis (qmc.pyx:99,
+confs (N, P)); its only "context scaling" knob is P (SURVEY.md §5). Here P
+becomes a mesh axis: each device owns a contiguous block of slices and the
+periodic nearest-slice J_perp coupling (qmc.pyx:126-138) is a halo exchange
+of one boundary slice per direction via `lax.ppermute` — a ring on a ring,
+the exact ICI topology match. Whole-line global moves (qmc.pyx:405-438)
+reduce their dE with a `psum`; the all-to-all bath term (qmc.pyx:270-273)
+uses an `all_gather` of the spin lines (the ring-attention-style pattern
+noted in SURVEY.md §5).
+
+RNG: local-slice phases fold the device's replica index into the key
+(independent streams per shard); global-move acceptance uses the unfolded
+key so every shard of a line reaches the same accept decision.
+
+Cross-shard semantics note: with the bath term, slices owned by different
+devices update concurrently against a bath-field snapshot refreshed once
+per local slice step — the cross-device analog of the reference's own
+tolerated asynchrony (its `prange` races, SURVEY.md §5 "race detection"),
+validated statistically rather than bitwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.6 stable API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from montecarlosolvers_tpu.models.coloring import ring_coloring
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.schedules import jperp as jperp_of
+from montecarlosolvers_tpu import schedules as sched_mod
+
+
+def _conf_spec(ndim, chains_sharded):
+    """PartitionSpec for confs (..., P, N): P on "replica", leading batch on
+    "chains" when present."""
+    lead = ("chains",) if chains_sharded else (None,)
+    extra = (None,) * (ndim - 3) if ndim > 2 else ()
+    if ndim == 2:
+        return P("replica", None)
+    return P(*(lead + extra + ("replica", None)))
+
+
+def _halo_exchange(confs_l, axis):
+    """Fetch the slice above and below this shard's block over the ring.
+
+    confs_l: (..., P_local, N). Returns (s_up, s_dn) with the same shape,
+    where s_up[k] is the global slice k-1 and s_dn[k] the global slice k+1.
+    """
+    ndev = lax.axis_size(axis)
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+    from_left = lax.ppermute(confs_l[..., -1, :], axis, fwd)
+    from_right = lax.ppermute(confs_l[..., 0, :], axis, bwd)
+    s_up = jnp.concatenate([from_left[..., None, :], confs_l[..., :-1, :]], axis=-2)
+    s_dn = jnp.concatenate([confs_l[..., 1:, :], from_right[..., None, :]], axis=-2)
+    return s_up, s_dn
+
+
+def _local_phase_key(key, axis):
+    me = lax.axis_index(axis)
+    try:
+        cme = lax.axis_index("chains")
+    except NameError:  # chains axis absent from mesh
+        cme = 0
+    return jax.random.fold_in(jax.random.fold_in(key, me), cme)
+
+
+def _sharded_local_sweep(problem, slice_colors, n_slice_colors, confs_l, key,
+                         temp, gamma, b, axis):
+    """One space-time colored local sweep on a Trotter shard."""
+    ndev = lax.axis_size(axis)
+    p_local = confs_l.shape[-2]
+    slices = p_local * ndev
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    b_coeff = -2.0 * b
+    me = lax.axis_index(axis)
+    global_idx = me * p_local + jnp.arange(p_local)
+    my_colors = slice_colors[global_idx]  # (P_local,)
+
+    key = _local_phase_key(key, axis)
+    phase = 0
+    for sc in range(n_slice_colors):
+        for c in range(problem.num_colors):
+            s_up, s_dn = _halo_exchange(confs_l, axis)
+            field = problem.local_fields(confs_l)
+            de = b_coeff * confs_l * field + 2.0 * confs_l * jp * (s_up + s_dn)
+            u = jax.random.uniform(jax.random.fold_in(key, phase), confs_l.shape)
+            mask = (my_colors == sc)[:, None] & problem.color_masks[c][None, :]
+            accept = metropolis_accept(de, teff, u) & mask
+            confs_l = jnp.where(accept, -confs_l, confs_l)
+            phase += 1
+    return confs_l
+
+
+def _sharded_dissipative_sweep(problem, bath_rows, confs_l, key, temp, gamma,
+                               b, axis):
+    """Dissipative sweep on a Trotter shard: local slices update
+    sequentially; the bath field against all P slices comes from an
+    all_gather refreshed per local step. bath_rows: (P_local_max... actually
+    (P, P) full bath matrix, rows selected by global index."""
+    ndev = lax.axis_size(axis)
+    p_local = confs_l.shape[-2]
+    slices = p_local * ndev
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    b_coeff = -2.0 * b
+    me = lax.axis_index(axis)
+    key = _local_phase_key(key, axis)
+
+    def slice_body(kloc, confs_l):
+        kglob = me * p_local + kloc
+        full = lax.all_gather(confs_l, axis, axis=confs_l.ndim - 2, tiled=True)
+        s_k = jax.lax.dynamic_index_in_dim(confs_l, kloc, axis=-2, keepdims=False)
+        s_up = jax.lax.dynamic_index_in_dim(
+            full, (kglob - 1) % slices, axis=-2, keepdims=False
+        )
+        s_dn = jax.lax.dynamic_index_in_dim(
+            full, (kglob + 1) % slices, axis=-2, keepdims=False
+        )
+        row = jnp.take(bath_rows, kglob, axis=0)  # (P,)
+        bath_field = jnp.einsum("p,...pn->...n", row, full)
+        kkey = jax.random.fold_in(key, kloc)
+        for c in range(problem.num_colors):
+            field = problem.local_fields(s_k)
+            de = (
+                b_coeff * s_k * field
+                + 2.0 * s_k * jp * (s_up + s_dn)
+                + 2.0 * teff * s_k * bath_field
+            )
+            u = jax.random.uniform(jax.random.fold_in(kkey, c), s_k.shape)
+            accept = metropolis_accept(de, teff, u) & problem.color_masks[c]
+            s_k = jnp.where(accept, -s_k, s_k)
+        return jax.lax.dynamic_update_index_in_dim(confs_l, s_k, kloc, axis=-2)
+
+    return jax.lax.fori_loop(0, p_local, slice_body, confs_l)
+
+
+def _sharded_global_moves(problem, confs_l, key, temp, b, axis):
+    """Whole-line flips with psum'd dE; acceptance uniforms are shared
+    across the replica axis so all shards of a line agree."""
+    ndev = lax.axis_size(axis)
+    slices = confs_l.shape[-2] * ndev
+    teff = temp * slices
+    b_coeff = -2.0 * b
+    try:
+        key = jax.random.fold_in(key, lax.axis_index("chains"))
+    except NameError:
+        pass
+    for c in range(problem.num_colors):
+        field = problem.local_fields(confs_l)
+        de = lax.psum(jnp.sum(b_coeff * confs_l * field, axis=-2), axis)
+        u = jax.random.uniform(jax.random.fold_in(key, c), de.shape)
+        accept = metropolis_accept(de, teff, u) & problem.color_masks[c]
+        confs_l = jnp.where(accept[..., None, :], -confs_l, confs_l)
+    return confs_l
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "mcsteps", "global_moves", "chains_sharded"),
+)
+def anneal_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
+                   mcsteps=1, global_moves=False, lookuptable=None,
+                   chains_sharded=False):
+    """PIQMC anneal with the Trotter axis sharded over mesh axis "replica"
+    (and optionally the chain batch over "chains").
+
+    confs: (..., P, N) with P divisible by the replica axis size.
+    Semantics match solvers.qmc.anneal; see module docstring for the
+    cross-shard RNG/bath conventions.
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    slices = confs.shape[-2]
+    colors_np, n_slice_colors = ring_coloring(slices)
+    slice_colors = jnp.asarray(colors_np)
+    if lookuptable is not None:
+        from montecarlosolvers_tpu.ops.piqmc import bath_matrix
+
+        bath_rows = bath_matrix(lookuptable, slices)
+    else:
+        bath_rows = None
+
+    spec_confs = _conf_spec(confs.ndim, chains_sharded)
+
+    def sweep(confs_l, k, gamma, bcur):
+        k1, k2 = jax.random.split(k)
+        if bath_rows is None:
+            confs_l = _sharded_local_sweep(
+                problem, slice_colors, n_slice_colors, confs_l, k1, temp,
+                gamma, bcur, "replica",
+            )
+        else:
+            confs_l = _sharded_dissipative_sweep(
+                problem, bath_rows, confs_l, k1, temp, gamma, bcur, "replica"
+            )
+        if global_moves:
+            confs_l = _sharded_global_moves(problem, confs_l, k2, temp, bcur,
+                                            "replica")
+        return confs_l
+
+    sharded_sweep = shard_map(
+        sweep,
+        mesh,
+        in_specs=(spec_confs, P(), P(), P()),
+        out_specs=spec_confs,
+    )
+
+    def body(confs, x):
+        gamma, bcur, k = x
+        return sharded_sweep(confs, k, gamma, bcur), None
+
+    confs, _ = jax.lax.scan(body, confs, (a, b, keys))
+    return confs

@@ -1,0 +1,128 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh: chain data
+parallelism must be bitwise-transparent; Trotter sharding must preserve
+state invariants, ground-state quality, and T->0 energy monotonicity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.solvers import sa, qmc
+from montecarlosolvers_tpu.parallel import make_mesh, shard_chains, trotter
+from montecarlosolvers_tpu import schedules
+from tests.test_sa import brute_force_ground
+from tests.test_qmc import extended_energy
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+class TestChainSharding:
+    def test_sa_results_identical_under_sharding(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, prob.nspins, batch=(16,))
+        sched = schedules.linear(2.0, 0.0, 30)
+        ref = np.asarray(sa.anneal(prob, sched, s0, key))
+
+        mesh = make_mesh(chains=8)
+        s0_sharded = shard_chains(s0, mesh)
+        out = np.asarray(sa.anneal(prob, sched, s0_sharded, key))
+        assert np.array_equal(ref, out)
+
+    def test_qmc_results_identical_under_sharding(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        key = jax.random.key(1)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins, batch=(8,)), 4)
+        a = schedules.transverse_field(2.0, 1e-8, 15)
+        b = jnp.ones_like(a)
+        ref = np.asarray(qmc.anneal(prob, a, b, 0.25, confs, key, global_moves=True))
+        mesh = make_mesh(chains=8)
+        out = np.asarray(
+            qmc.anneal(prob, a, b, 0.25, shard_chains(confs, mesh), key,
+                       global_moves=True)
+        )
+        assert np.array_equal(ref, out)
+
+
+class TestTrotterSharding:
+    def test_state_valid_and_deterministic(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        slices = 16  # 2 slices per device
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(0)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        a = schedules.transverse_field(2.5, 1e-8, 25)
+        b = jnp.ones_like(a)
+        x = trotter.anneal_sharded(prob, a, b, 1.0 / slices, confs, key, mesh)
+        y = trotter.anneal_sharded(prob, a, b, 1.0 / slices, confs, key, mesh)
+        xa = np.asarray(x)
+        assert set(np.unique(xa)) <= {-1.0, 1.0}
+        assert np.array_equal(xa, np.asarray(y))
+
+    def test_finds_ground_state_with_global_moves(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        e_gs, _ = brute_force_ground(prob)
+        slices = 8
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s0 = sa.random_state(k1, prob.nspins)
+        s0 = sa.anneal(prob, schedules.pre_anneal_schedule(3.0, 1.0), s0, k2,
+                       mcsteps=5)
+        confs = qmc.replicate(s0, slices)
+        a = schedules.transverse_field(3.0, 1e-8, 300)
+        out = trotter.anneal_sharded(
+            prob, a, jnp.ones_like(a), 1.0 / slices, confs, k3, mesh,
+            global_moves=True,
+        )
+        best = float(np.min(np.asarray(qmc.best_slice_energy(prob, out))))
+        assert best <= e_gs + 0.1 * abs(e_gs), (best, e_gs)
+
+    def test_energy_nonincreasing_at_zero_temp(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        slices = 8
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(2)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        confs = confs.at[3, :4].multiply(-1.0)
+        temp, gamma = 1e-6, 1.0
+        a = jnp.full((4,), gamma)
+        b = jnp.ones(4)
+        e0 = float(extended_energy(prob, confs, temp, gamma))
+        out = trotter.anneal_sharded(prob, a, b, temp, confs, key, mesh)
+        e1 = float(extended_energy(prob, out, temp, gamma))
+        assert e1 <= e0 + 1e-3
+
+    def test_dissipative_sharded(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        slices = 8
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(3)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        lut = schedules.bath_lookuptable(slices, 1e-2)
+        a = schedules.transverse_field(2.0, 1e-8, 10)
+        out = trotter.anneal_sharded(
+            prob, a, jnp.ones_like(a), 1.0 / slices, confs, key, mesh,
+            lookuptable=lut,
+        )
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+    def test_chains_and_replica_2d_mesh(self, rng, eight_devices):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        slices = 4
+        mesh = make_mesh(chains=2, replica=4)
+        key = jax.random.key(4)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins, batch=(4,)), slices)
+        a = schedules.transverse_field(2.0, 1e-8, 10)
+        out = trotter.anneal_sharded(
+            prob, a, jnp.ones_like(a), 0.25, confs, key, mesh,
+            global_moves=True, chains_sharded=True,
+        )
+        assert out.shape == confs.shape
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
