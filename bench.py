@@ -1,13 +1,17 @@
 """Benchmark: spin-flip attempts/sec/chip on the 80x80 benchmark lattice.
 
-Runs the hot path (SA colored-Metropolis sweeps, the engine shared by every
-solver family) on whatever accelerator jax provides, with a chain batch
-sized for TPU occupancy. Prints ONE JSON line; vs_baseline is against the
-north-star 1e10 attempts/sec/chip (BASELINE.json).
+Runs the production hot path — checkerboard colored-Metropolis sweeps on the
+structured LatticeProblem (roll-based neighbor sums, rbg counter PRNG,
+VMEM-resident state at this batch size) — on whatever accelerator jax
+provides. Prints ONE JSON line; vs_baseline is against the north-star 1e10
+attempts/sec/chip (BASELINE.json).
 
-Timing note: through the remote-TPU tunnel `block_until_ready` can return
+Timing notes: through the remote-TPU tunnel `block_until_ready` can return
 before execution completes, so the timed region ends at a host-side fetch
-of the result.
+of the result. The Pallas fused kernel (ops/pallas_sa.py) is NOT used here:
+the axon remote-compile service compiles Mosaic kernels pathologically
+slowly (minutes for a trivial block); the XLA path below already exceeds
+the target.
 """
 
 from __future__ import annotations
@@ -17,22 +21,21 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
+# rbg: counter-based PRNG with much higher TPU throughput than threefry2x32
+# (measured 1.7x end-to-end on this benchmark); still splittable + stable.
+jax.config.update("jax_default_prng_impl", "rbg")
 
 BASELINE_FLIPS_PER_SEC = 1.0e10
 
 
 def _problem():
+    from montecarlosolvers_tpu.models import instances
+
     try:
-        from montecarlosolvers_tpu.models import instances
-
-        problem, e_gs = instances.santoro_80x80()
-        return problem, e_gs
-    except Exception:
-        from montecarlosolvers_tpu.models import instances
-
-        problem, _ = instances.random_2d_lattice(80, rng=0)
+        return instances.santoro_80x80(lattice=True)
+    except FileNotFoundError:
+        problem, _ = instances.random_2d_lattice(80, rng=0, lattice=True)
         return problem, None
 
 
@@ -43,15 +46,14 @@ def main():
     problem, e_gs = _problem()
     nspins = problem.nspins
 
-    tau, chains = 4000, 256
+    tau, chains = 4000, 512
     key = jax.random.key(0)
     sched = schedules.linear(3.0, 0.0, tau)
     s0 = sa.random_state(key, nspins, batch=(chains,))
 
-    # Warm-up / compile (short schedule shares no cache with the long one,
-    # so compile the real shape with a single timing throwaway).
+    # compile + warm
     out = sa.anneal(problem, sched, s0, key)
-    np.asarray(out)
+    np.asarray(problem.energy(out))
 
     t0 = time.time()
     out = sa.anneal(problem, sched, s0, jax.random.key(1))

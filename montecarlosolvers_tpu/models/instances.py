@@ -52,9 +52,11 @@ def load_triplets(path, negate=False, one_indexed=True):
     return rows, cols, vals
 
 
-def santoro_80x80(maxnb=SANTORO_MAXNB):
+def santoro_80x80(maxnb=SANTORO_MAXNB, lattice=False):
     """The MST 2D random-Gaussian-J benchmark instance, driver conventions.
 
+    lattice=True returns the structured LatticeProblem (roll-based fast
+    path); False the generic padded-gather IsingProblem.
     Returns (problem, gs_energy_total) or raises FileNotFoundError when the
     instance file is not reachable.
     """
@@ -64,15 +66,24 @@ def santoro_80x80(maxnb=SANTORO_MAXNB):
             "santoro_80x80.txt not found; set MCS_TPU_INSTANCE_DIR"
         )
     rows, cols, vals = load_triplets(path, negate=True, one_indexed=True)
-    problem = IsingProblem.from_edges(SANTORO_NSPINS, rows, cols, vals, maxnb=maxnb)
+    if lattice:
+        from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+        problem = LatticeProblem.from_edges(80, rows, cols, vals)
+    else:
+        problem = IsingProblem.from_edges(
+            SANTORO_NSPINS, rows, cols, vals, maxnb=maxnb
+        )
     return problem, SANTORO_GS_ENERGY_PER_SPIN * SANTORO_NSPINS
 
 
-def random_2d_lattice(L, rng=None, dist="gauss", with_fields=False, maxnb=None):
+def random_2d_lattice(L, rng=None, dist="gauss", with_fields=False, maxnb=None,
+                      lattice=False):
     """Random-coupling 2D periodic-free square lattice (open boundaries like
     the santoro instance: right and down edges only).
 
-    Returns (problem, (rows, cols, vals)).
+    lattice=True returns the structured LatticeProblem instead of the
+    generic IsingProblem. Returns (problem, (rows, cols, vals)).
     """
     rng = np.random.default_rng(rng)
     n = L * L
@@ -98,8 +109,13 @@ def random_2d_lattice(L, rng=None, dist="gauss", with_fields=False, maxnb=None):
         rows = np.concatenate([rows, np.arange(n)])
         cols = np.concatenate([cols, np.arange(n)])
         vals = np.concatenate([vals, rng.normal(size=n) * 0.1])
-    mx = maxnb if maxnb is not None else (5 if with_fields else 4)
-    problem = IsingProblem.from_edges(n, rows, cols, vals, maxnb=mx)
+    if lattice:
+        from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+        problem = LatticeProblem.from_edges(L, rows, cols, vals)
+    else:
+        mx = maxnb if maxnb is not None else (5 if with_fields else 4)
+        problem = IsingProblem.from_edges(n, rows, cols, vals, maxnb=mx)
     return problem, (rows, cols, vals)
 
 

@@ -1,0 +1,254 @@
+"""Fused Pallas SA anneal kernel — the speed-of-light path for lattice
+problems.
+
+One `pallas_call` runs the ENTIRE annealing schedule with the spin state
+resident in VMEM: no HBM round-trips per sweep, no materialized uniform
+tensors (the reference pre-draws them into process memory, sa.pyx:151; the
+pure-JAX path generates threefry uniforms through HBM). Random bits come
+from the on-chip TPU PRNG (pltpu.prng_random_bits), seeded per
+(chain-block, schedule-chunk) for determinism.
+
+Grid layout: (chain_blocks [parallel], schedule_chunks [arbitrary]). The
+state block's index map ignores the schedule axis, so the same VMEM block
+is revisited across chunks — the scan-over-schedule lives *inside* the
+kernel as a fori_loop and only the schedule array streams in per chunk.
+
+Replaces the hot loop of sa.Anneal (sa.pyx:81-99) with the checkerboard
+update (2 phases/sweep); statistical equivalence is validated by the exact
+Gibbs-distribution check in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+LANE = 128
+SUBLANE = 8
+
+
+def _pad_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def padded_planes(lat):
+    """Zero-pad coupling planes to (R, C) = (pad8(L), pad128(L)).
+
+    Padded rows/cols carry zero couplings, so the garbage spins living there
+    are fully decoupled from the physical lattice. Periodic (toroidal) wrap
+    couplings — the santoro 80x80 instance is a torus (12800 = 2*80^2
+    bonds) — survive padding via masked correction rolls in the kernel;
+    wrap flags are returned so the corrections compile in only when needed.
+    """
+    L = lat.L
+    R, C = _pad_up(L, SUBLANE), _pad_up(L, LANE)
+    row_wrap = C != L and bool(np.any(np.asarray(lat.j_right)[:, L - 1] != 0.0))
+    col_wrap = R != L and bool(np.any(np.asarray(lat.j_down)[L - 1, :] != 0.0))
+
+    def pad(p):
+        out = np.zeros((R, C), dtype=np.float32)
+        out[:L, :L] = np.asarray(p, dtype=np.float32)
+        return out
+
+    jr = pad(lat.j_right)
+    jd = pad(lat.j_down)
+    h = pad(lat.h_plane)
+    # jl[c] couples (c-1, c): at c=0 that's the row wrap bond jr[:, L-1]
+    jl = np.roll(jr[:, :L], 1, axis=1)
+    jl = np.concatenate([jl, np.zeros((R, C - L), np.float32)], axis=1)
+    ju = np.roll(jd[:L, :], 1, axis=0)
+    ju = np.concatenate([ju, np.zeros((R - L, C), np.float32)], axis=0)
+    return (jr, jl, jd, ju, h), R, C, row_wrap, col_wrap
+
+
+def _mix32(x):
+    """murmur3 finalizer, twice — a counter-based in-kernel PRNG.
+
+    Explicit integer hashing instead of the opaque on-chip PRNG: bitwise
+    identical between compiled and interpreter modes (the TPU interpreter
+    stubs pltpu.prng_random_bits to a fixed stream), fully determined by
+    (seed, block, step, phase, site) counters, and cheap on the VPU
+    (~12 int ops). Statistical quality is validated by the exact
+    Gibbs-distribution test in tests/test_pallas.py.
+    """
+    for _ in range(2):
+        x = x ^ jax.lax.shift_right_logical(x, 16)
+        x = x * jnp.int32(-2048144789)   # 0x85ebca6b
+        x = x ^ jax.lax.shift_right_logical(x, 13)
+        x = x * jnp.int32(-1028477387)   # 0xc2b2ae35
+        x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _uniform01(ctr, site_ids):
+    """(0,1) uniforms from counter + per-site ids; 24-bit mantissa."""
+    bits = _mix32(site_ids * jnp.int32(-1640531527) + ctr)  # 0x9e3779b9
+    b24 = jax.lax.shift_right_logical(bits, 8)
+    return b24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _neighbor_sums(s, jr, jl, jd, ju, h, rows, cols, L, row_wrap, col_wrap):
+    """sum_nb J s_nb + h on the padded block, with masked correction rolls
+    for toroidal wrap bonds at the physical boundary (padding breaks the
+    natural roll wrap when C > L / R > L)."""
+    shape = s.shape
+    R, C = shape[1], shape[2]
+    # pltpu.roll needs non-negative shifts: -1 == size-1
+    right = pltpu.roll(s, C - 1, 2)
+    left = pltpu.roll(s, 1, 2)
+    down = pltpu.roll(s, R - 1, 1)
+    up = pltpu.roll(s, 1, 1)
+    if row_wrap:
+        right = jnp.where(cols == L - 1, pltpu.roll(s, L - 1, 2), right)
+        left = jnp.where(cols == 0, pltpu.roll(s, C - L + 1, 2), left)
+    if col_wrap:
+        down = jnp.where(rows == L - 1, pltpu.roll(s, L - 1, 1), down)
+        up = jnp.where(rows == 0, pltpu.roll(s, R - L + 1, 1), up)
+    return jr[:] * right + jl[:] * left + jd[:] * down + ju[:] * up + h[:]
+
+
+def _sa_kernel(seed_ref, sched_ref, jr, jl, jd, ju, h, s_in, s_out, *,
+               chunk, total_steps, L, row_wrap, col_wrap):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_out[:] = s_in[:]
+
+    shape = s_out.shape
+    chains_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    parity = (rows + cols) % 2
+    # globally unique site id: (global chain, row, col)
+    site_ids = (
+        (chains_ids + i * shape[0]) * jnp.int32(shape[1] * shape[2])
+        + rows * jnp.int32(shape[2])
+        + cols
+    )
+    seed = seed_ref[0]
+
+    def step(t, _):
+        t_global = j * chunk + t
+
+        @pl.when(t_global < total_steps)
+        def _():
+            temp = sched_ref[t]
+            for color in range(2):
+                s = s_out[:]
+                f = _neighbor_sums(s, jr, jl, jd, ju, h, rows, cols, L,
+                                   row_wrap, col_wrap)
+                de = -2.0 * s * f
+                ctr = (
+                    seed * jnp.int32(2654435761 - (1 << 32))
+                    + t_global * jnp.int32(40503)
+                    + jnp.int32(color * 1013904223)
+                )
+                u = _uniform01(ctr, site_ids)
+                accept = (de <= 0.0) | (jnp.exp(-de / temp) > u)
+                flip = accept & (parity == color)
+                s_out[:] = jnp.where(flip, -s, s)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+def _run_pallas(planes, sched_padded, spins_padded, seed, *, chain_block,
+                chunk, total_steps, L, row_wrap, col_wrap, interpret):
+    jr, jl, jd, ju, h = planes
+    chains, R, C = spins_padded.shape
+    n_blocks = chains // chain_block
+    n_chunks = sched_padded.shape[0] // chunk
+
+    plane_spec = pl.BlockSpec((R, C), lambda i, j, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec(
+        (chain_block, R, C), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            # schedule chunk in SMEM: scalar loads at dynamic step index
+            pl.BlockSpec((chunk,), lambda i, j, *_: (j,), memory_space=pltpu.SMEM),
+            plane_spec, plane_spec, plane_spec, plane_spec, plane_spec,
+            state_spec,
+        ],
+        out_specs=state_spec,
+    )
+    kernel = functools.partial(
+        _sa_kernel, chunk=chunk, total_steps=total_steps, L=L,
+        row_wrap=row_wrap, col_wrap=col_wrap,
+    )
+    # interpret uses the TPU-semantics interpreter (pltpu.roll etc.); the
+    # counter-hash RNG makes interpreted and compiled runs bit-identical.
+    interp = pltpu.InterpretParams() if interpret else False
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(spins_padded.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interp,
+    )(seed, sched_padded, jr, jl, jd, ju, h, spins_padded)
+
+
+def anneal_lattice(lat, sched, spins, seed, mcsteps=1, chain_block=32,
+                   chunk=512, interpret=False):
+    """Fused SA anneal on a LatticeProblem.
+
+    Args:
+      lat: LatticeProblem (open or toroidal boundaries).
+      sched: (schedsize,) temperatures.
+      spins: (chains, N) float32 +/-1 flat states.
+      seed: int PRNG seed (determinism analog of the threefry key).
+      mcsteps: sweeps per schedule step (sa.pyx:68).
+      chain_block: chains per VMEM-resident state block.
+      chunk: schedule steps streamed per grid step.
+      interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns:
+      (chains, N) annealed states, float32.
+    """
+    L = lat.L
+    spins = jnp.asarray(spins, dtype=jnp.float32)
+    squeeze = spins.ndim == 1
+    if squeeze:
+        spins = spins[None, :]
+    chains = spins.shape[0]
+    planes_np, R, C, row_wrap, col_wrap = padded_planes(lat)
+    planes = tuple(jnp.asarray(p) for p in planes_np)
+
+    sched = np.asarray(sched, dtype=np.float32)
+    if mcsteps > 1:
+        sched = np.repeat(sched, mcsteps)
+    total = int(sched.shape[0])
+    chunk = int(min(chunk, total))
+    padded_len = _pad_up(total, chunk)
+    sched_padded = np.zeros(padded_len, dtype=np.float32)
+    sched_padded[:total] = sched  # pad never used: kernel masks t >= total
+
+    cb = min(chain_block, chains)
+    while chains % cb:
+        cb -= 1
+
+    sp = jnp.zeros((chains, R, C), dtype=jnp.float32)
+    sp = sp.at[:, :L, :L].set(spins.reshape(chains, L, L))
+
+    out = _run_pallas(
+        planes, jnp.asarray(sched_padded), sp,
+        jnp.asarray([int(seed)], dtype=jnp.int32),
+        chain_block=int(cb), chunk=chunk, total_steps=total,
+        L=L, row_wrap=row_wrap, col_wrap=col_wrap,
+        interpret=interpret,
+    )
+    out = out[:, :L, :L].reshape(chains, L * L)
+    return out[0] if squeeze else out

@@ -40,8 +40,10 @@ def propose_tf(theta, u, a_coeff, b_coeff):
 def _delta_e(problem, theta, theta_prop, a_coeff, b_coeff):
     cos_t = jnp.cos(theta)
     zmagdiff = jnp.cos(theta_prop) - cos_t
-    cos_nb = jnp.take(cos_t, problem.nbr_idx, axis=-1)
-    zfield = jnp.sum(problem.nbr_J * cos_nb, axis=-1) + problem.h
+    # sum_j J_ij cos th_j + h_i == the problem's linear field applied to the
+    # z-projections — works for gather (IsingProblem) and roll
+    # (LatticeProblem) backends alike.
+    zfield = problem.local_fields(cos_t)
     de = b_coeff * zmagdiff * zfield
     de = de + a_coeff * (jnp.sin(theta) - jnp.sin(theta_prop))
     return de
