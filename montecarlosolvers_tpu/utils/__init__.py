@@ -1,0 +1,14 @@
+from montecarlosolvers_tpu.utils import observables, profiling
+from montecarlosolvers_tpu.utils.checkpoint import (
+    CheckpointedAnneal,
+    save_neighbor_table,
+    load_neighbor_table,
+)
+
+__all__ = [
+    "observables",
+    "profiling",
+    "CheckpointedAnneal",
+    "save_neighbor_table",
+    "load_neighbor_table",
+]
