@@ -41,11 +41,13 @@ def colored_metropolis_sweep(problem, spins, key, temp, b_coeff=None):
     """
     if b_coeff is None:
         b_coeff = -2.0
-    u = jax.random.uniform(key, spins.shape + (problem.num_colors,))
+    # Color classes partition the sites, so each site's uniform is consumed
+    # in exactly one phase — one draw serves the whole sweep.
+    u = jax.random.uniform(key, spins.shape)
     for c in range(problem.num_colors):
         field = problem.local_fields(spins)
         de = b_coeff * spins * field
-        accept = metropolis_accept(de, temp, u[..., c]) & problem.color_masks[c]
+        accept = metropolis_accept(de, temp, u) & problem.color_masks[c]
         spins = jnp.where(accept, -spins, spins)
     return spins
 
@@ -92,12 +94,12 @@ def noisy_colored_sweep(problem, nbr_J_t, h_t, spins, key, temp):
     the problem's static couplings — the schedule axis of the reference's
     4-D `nbs` array (sa.pyx:308-311) becomes a scanned input.
     """
-    u = jax.random.uniform(key, spins.shape + (problem.num_colors,))
+    u = jax.random.uniform(key, spins.shape)
     for c in range(problem.num_colors):
         s = spins.astype(nbr_J_t.dtype)
         sj = jnp.take(s, problem.nbr_idx, axis=-1)
         field = jnp.sum(nbr_J_t * sj, axis=-1) + h_t
         de = -2.0 * s * field
-        accept = metropolis_accept(de, temp, u[..., c]) & problem.color_masks[c]
+        accept = metropolis_accept(de, temp, u) & problem.color_masks[c]
         spins = jnp.where(accept, -spins, spins)
     return spins

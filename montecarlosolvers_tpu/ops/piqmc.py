@@ -43,6 +43,24 @@ def slice_color_masks(slices):
     return np.arange(n)[:, None] == colors[None, :], n
 
 
+def spacetime_num_phases(num_colors, slices):
+    """Phase count m for the combined space-time coloring
+    phase(i, k) = (spatial_color(i) + k) mod m.
+
+    Correctness: spatial neighbors at one slice have distinct spatial
+    colors, which stay distinct mod m for m >= num_colors; Trotter
+    neighbors (k, k+1) of one spin differ by 1 mod m; the ring wrap pair
+    (P-1, 0) differs unless m divides P-1. The smallest valid m is 2 for a
+    bipartite lattice with even P — a full sweep in 2 phases, half the
+    work of the naive (spatial x ring) product coloring.
+    """
+    m = max(2, num_colors)
+    if slices > 1:
+        while (slices - 1) % m == 0:
+            m += 1
+    return m
+
+
 def bath_matrix(lookuptable, slices):
     """(P, P) bath coupling matrix: M[k, k'] = lut[ring_dist(k, k') - 1],
     zero diagonal. One matvec with the spin line gives the bath field
@@ -58,8 +76,13 @@ def bath_matrix(lookuptable, slices):
     return m
 
 
-def local_sweep(problem, confs, key, temp, gamma, b, slice_masks):
+def local_sweep(problem, confs, key, temp, gamma, b, num_phases=None):
     """One space-time colored local sweep (non-dissipative).
+
+    Uses the combined coloring phase(i, k) = (spatial_color(i) + k) mod m
+    (see spacetime_num_phases) — 2 phases for the bipartite-lattice /
+    even-P benchmark configs, vs the reference's P sequential slice loops
+    (qmc.pyx:97-143).
 
     confs: (..., P, N) float (+1/-1). Returns updated confs.
     """
@@ -67,20 +90,18 @@ def local_sweep(problem, confs, key, temp, gamma, b, slice_masks):
     teff = temp * slices
     jp = jperp_of(gamma, teff)
     b_coeff = -2.0 * b
-    n_slice_colors = slice_masks.shape[0]
-    n_phases = problem.num_colors * n_slice_colors
-    u = jax.random.uniform(key, confs.shape + (n_phases,))
-    phase = 0
-    for sc in range(n_slice_colors):
-        for c in range(problem.num_colors):
-            field = problem.local_fields(confs)  # (..., P, N)
-            s_up = jnp.roll(confs, 1, axis=-2)
-            s_dn = jnp.roll(confs, -1, axis=-2)
-            de = b_coeff * confs * field + 2.0 * confs * jp * (s_up + s_dn)
-            mask = slice_masks[sc][:, None] & problem.color_masks[c][None, :]
-            accept = metropolis_accept(de, teff, u[..., phase]) & mask
-            confs = jnp.where(accept, -confs, confs)
-            phase += 1
+    m = num_phases or spacetime_num_phases(problem.num_colors, slices)
+    spatial_colors = jnp.argmax(problem.color_masks, axis=0)  # (N,)
+    stc = (spatial_colors[None, :] + jnp.arange(slices)[:, None]) % m  # (P,N)
+    # Phases partition all sites — one uniform draw serves the whole sweep.
+    u = jax.random.uniform(key, confs.shape)
+    for p in range(m):
+        field = problem.local_fields(confs)  # (..., P, N)
+        s_up = jnp.roll(confs, 1, axis=-2)
+        s_dn = jnp.roll(confs, -1, axis=-2)
+        de = b_coeff * confs * field + 2.0 * confs * jp * (s_up + s_dn)
+        accept = metropolis_accept(de, teff, u) & (stc == p)
+        confs = jnp.where(accept, -confs, confs)
     return confs
 
 
@@ -94,9 +115,8 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
     teff = temp * slices
     jp = jperp_of(gamma, teff)
     b_coeff = -2.0 * b
-    u = jax.random.uniform(
-        key, confs.shape[:-2] + (slices, problem.num_colors) + confs.shape[-1:]
-    )
+    # spatial colors partition each slice: one uniform plane per slice
+    u = jax.random.uniform(key, confs.shape)
 
     def slice_body(k, confs):
         s_k = jax.lax.dynamic_index_in_dim(confs, k, axis=-2, keepdims=False)
@@ -109,7 +129,7 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
         # Bath field for slice k: row k of the bath matrix against all slices.
         row = jax.lax.dynamic_index_in_dim(bath_mat, k, axis=0, keepdims=False)
         bath_field = jnp.einsum("p,...pn->...n", row, confs)
-        u_k = jax.lax.dynamic_index_in_dim(u, k, axis=-3, keepdims=False)
+        u_k = jax.lax.dynamic_index_in_dim(u, k, axis=-2, keepdims=False)
         for c in range(problem.num_colors):
             field = problem.local_fields(s_k)
             de = (
@@ -117,7 +137,7 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
                 + 2.0 * s_k * jp * (s_up + s_dn)
                 + 2.0 * teff * s_k * bath_field
             )
-            accept = metropolis_accept(de, teff, u_k[..., c, :]) & problem.color_masks[c]
+            accept = metropolis_accept(de, teff, u_k) & problem.color_masks[c]
             s_k = jnp.where(accept, -s_k, s_k)
         return jax.lax.dynamic_update_index_in_dim(confs, s_k, k, axis=-2)
 
@@ -134,10 +154,10 @@ def global_line_moves(problem, confs, key, temp, b):
     slices = confs.shape[-2]
     teff = temp * slices
     b_coeff = -2.0 * b
-    u = jax.random.uniform(key, confs.shape[:-2] + confs.shape[-1:] + (problem.num_colors,))
+    u = jax.random.uniform(key, confs.shape[:-2] + confs.shape[-1:])
     for c in range(problem.num_colors):
         field = problem.local_fields(confs)  # (..., P, N)
         de = jnp.sum(b_coeff * confs * field, axis=-2)  # (..., N)
-        accept = metropolis_accept(de, teff, u[..., c]) & problem.color_masks[c]
+        accept = metropolis_accept(de, teff, u) & problem.color_masks[c]
         confs = jnp.where(accept[..., None, :], -confs, confs)
     return confs

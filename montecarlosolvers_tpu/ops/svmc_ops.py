@@ -51,16 +51,18 @@ def _delta_e(problem, theta, theta_prop, a_coeff, b_coeff):
 
 def svmc_sweep(problem, theta, key, temp, a_coeff, b_coeff, tf=False):
     """One colored SVMC sweep. theta: (..., N) float angles in [0, pi]."""
+    # One (proposal, acceptance) uniform pair per site per sweep — color
+    # phases partition the sites.
     ku, ka = jax.random.split(key)
-    u_prop = jax.random.uniform(ku, theta.shape + (problem.num_colors,))
-    u_acc = jax.random.uniform(ka, theta.shape + (problem.num_colors,))
+    u_prop = jax.random.uniform(ku, theta.shape)
+    u_acc = jax.random.uniform(ka, theta.shape)
     for c in range(problem.num_colors):
         if tf:
-            prop = propose_tf(theta, u_prop[..., c], a_coeff, b_coeff)
+            prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
-            prop = propose_uniform(u_prop[..., c])
+            prop = propose_uniform(u_prop)
         de = _delta_e(problem, theta, prop, a_coeff, b_coeff)
-        accept = metropolis_accept(de, temp, u_acc[..., c]) & problem.color_masks[c]
+        accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
         theta = jnp.where(accept, prop, theta)
     return theta
 
@@ -70,19 +72,19 @@ def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, 
     svmc.pyx:236-448): the schedule axis of the 4-D `nbs` array becomes a
     scanned coupling table (nbr_J_t: (N, maxnb), h_t: (N,))."""
     ku, ka = jax.random.split(key)
-    u_prop = jax.random.uniform(ku, theta.shape + (problem.num_colors,))
-    u_acc = jax.random.uniform(ka, theta.shape + (problem.num_colors,))
+    u_prop = jax.random.uniform(ku, theta.shape)
+    u_acc = jax.random.uniform(ka, theta.shape)
     for c in range(problem.num_colors):
         if tf:
-            prop = propose_tf(theta, u_prop[..., c], a_coeff, b_coeff)
+            prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
-            prop = propose_uniform(u_prop[..., c])
+            prop = propose_uniform(u_prop)
         cos_t = jnp.cos(theta)
         zmagdiff = jnp.cos(prop) - cos_t
         cos_nb = jnp.take(cos_t, problem.nbr_idx, axis=-1)
         zfield = jnp.sum(nbr_J_t * cos_nb, axis=-1) + h_t
         de = b_coeff * zmagdiff * zfield + a_coeff * (jnp.sin(theta) - jnp.sin(prop))
-        accept = metropolis_accept(de, temp, u_acc[..., c]) & problem.color_masks[c]
+        accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
         theta = jnp.where(accept, prop, theta)
     return theta
 

@@ -43,8 +43,8 @@ except ImportError:  # pragma: no cover
     def shard_map(f, mesh, in_specs, out_specs):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
-from montecarlosolvers_tpu.models.coloring import ring_coloring
 from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.ops.piqmc import spacetime_num_phases
 from montecarlosolvers_tpu.schedules import jperp as jperp_of
 from montecarlosolvers_tpu import schedules as sched_mod
 
@@ -84,9 +84,11 @@ def _local_phase_key(key, axis):
     return jax.random.fold_in(jax.random.fold_in(key, me), cme)
 
 
-def _sharded_local_sweep(problem, slice_colors, n_slice_colors, confs_l, key,
-                         temp, gamma, b, axis):
-    """One space-time colored local sweep on a Trotter shard."""
+def _sharded_local_sweep(problem, num_phases, confs_l, key, temp, gamma, b,
+                         axis):
+    """One space-time colored local sweep on a Trotter shard, using the
+    combined coloring phase(i, k_global) = (spatial_color + k) mod m (see
+    ops.piqmc.spacetime_num_phases)."""
     ndev = lax.axis_size(axis)
     p_local = confs_l.shape[-2]
     slices = p_local * ndev
@@ -95,20 +97,17 @@ def _sharded_local_sweep(problem, slice_colors, n_slice_colors, confs_l, key,
     b_coeff = -2.0 * b
     me = lax.axis_index(axis)
     global_idx = me * p_local + jnp.arange(p_local)
-    my_colors = slice_colors[global_idx]  # (P_local,)
+    spatial_colors = jnp.argmax(problem.color_masks, axis=0)
+    stc = (spatial_colors[None, :] + global_idx[:, None]) % num_phases
 
     key = _local_phase_key(key, axis)
-    phase = 0
-    for sc in range(n_slice_colors):
-        for c in range(problem.num_colors):
-            s_up, s_dn = _halo_exchange(confs_l, axis)
-            field = problem.local_fields(confs_l)
-            de = b_coeff * confs_l * field + 2.0 * confs_l * jp * (s_up + s_dn)
-            u = jax.random.uniform(jax.random.fold_in(key, phase), confs_l.shape)
-            mask = (my_colors == sc)[:, None] & problem.color_masks[c][None, :]
-            accept = metropolis_accept(de, teff, u) & mask
-            confs_l = jnp.where(accept, -confs_l, confs_l)
-            phase += 1
+    u = jax.random.uniform(key, confs_l.shape)
+    for p in range(num_phases):
+        s_up, s_dn = _halo_exchange(confs_l, axis)
+        field = problem.local_fields(confs_l)
+        de = b_coeff * confs_l * field + 2.0 * confs_l * jp * (s_up + s_dn)
+        accept = metropolis_accept(de, teff, u) & (stc == p)
+        confs_l = jnp.where(accept, -confs_l, confs_l)
     return confs_l
 
 
@@ -194,8 +193,7 @@ def anneal_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
     keys = jax.random.split(key, a.shape[0])
 
     slices = confs.shape[-2]
-    colors_np, n_slice_colors = ring_coloring(slices)
-    slice_colors = jnp.asarray(colors_np)
+    num_phases = spacetime_num_phases(problem.num_colors, slices)
     if lookuptable is not None:
         from montecarlosolvers_tpu.ops.piqmc import bath_matrix
 
@@ -209,8 +207,7 @@ def anneal_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
         k1, k2 = jax.random.split(k)
         if bath_rows is None:
             confs_l = _sharded_local_sweep(
-                problem, slice_colors, n_slice_colors, confs_l, k1, temp,
-                gamma, bcur, "replica",
+                problem, num_phases, confs_l, k1, temp, gamma, bcur, "replica"
             )
         else:
             confs_l = _sharded_dissipative_sweep(

@@ -79,8 +79,6 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     keys = jax.random.split(key, a.shape[0])
 
     slices = confs.shape[-2]
-    slice_masks, _ = piqmc_ops.slice_color_masks(slices)
-    slice_masks = jnp.asarray(slice_masks)
     bath_mat = (
         piqmc_ops.bath_matrix(lookuptable, slices) if lookuptable is not None else None
     )
@@ -94,7 +92,7 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
             )
         else:
             confs = piqmc_ops.local_sweep(
-                problem, confs, k1, temp, gamma, bcur, slice_masks
+                problem, confs, k1, temp, gamma, bcur
             )
         if global_moves:
             confs = piqmc_ops.global_line_moves(problem, confs, k2, temp, bcur)

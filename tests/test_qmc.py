@@ -41,12 +41,10 @@ class TestLocalSweep:
         # flip a few spins so replicas differ
         confs = confs.at[2, :5].multiply(-1.0)
         temp, gamma = 1e-6, 1.0
-        masks, _ = piqmc_ops.slice_color_masks(slices)
-        masks = jnp.asarray(masks)
         e_prev = float(extended_energy(prob, confs, temp, gamma))
         for i in range(5):
             key, k = jax.random.split(key)
-            confs = piqmc_ops.local_sweep(prob, confs, k, temp, gamma, 1.0, masks)
+            confs = piqmc_ops.local_sweep(prob, confs, k, temp, gamma, 1.0)
             e = float(extended_energy(prob, confs, temp, gamma))
             assert e <= e_prev + 1e-3, (i, e, e_prev)
             e_prev = e
@@ -85,6 +83,80 @@ class TestLocalSweep:
             e = float(jnp.sum(prob.energy(confs)))
             assert e <= e_prev + 1e-3
             e_prev = e
+
+
+class TestSpacetimeColoring:
+    def test_phase_counts(self):
+        from montecarlosolvers_tpu.ops.piqmc import spacetime_num_phases
+
+        assert spacetime_num_phases(2, 40) == 2   # bipartite, even P
+        assert spacetime_num_phases(2, 10) == 2
+        assert spacetime_num_phases(2, 5) == 3    # (5-1) % 2 == 0 -> bump
+        assert spacetime_num_phases(3, 8) == 3    # (8-1) % 3 != 0
+
+    def test_partition_is_conflict_free(self, rng):
+        """No two interacting sites (spatial edge in a slice, or Trotter
+        ring neighbors of one spin) may share a phase."""
+        from montecarlosolvers_tpu.ops.piqmc import spacetime_num_phases
+
+        for P in (2, 4, 5, 7, 10):
+            prob, (rows, cols, vals) = instances.random_graph(
+                12, 20, rng=np.random.default_rng(P)
+            )
+            colors = np.argmax(np.asarray(prob.color_masks), axis=0)
+            m = spacetime_num_phases(prob.num_colors, P)
+            phase = (colors[None, :] + np.arange(P)[:, None]) % m
+            for a, b in zip(rows, cols):
+                if a != b:
+                    assert (phase[:, a] != phase[:, b]).all(), (P, a, b)
+            for k in range(P):
+                k2 = (k + 1) % P
+                if k2 != k:
+                    assert (phase[k] != phase[k2]).all(), (P, k)
+
+    def test_extended_gibbs_distribution(self, rng):
+        """The space-time colored local sweep must sample the exact
+        Boltzmann distribution of the extended PIQMC Hamiltonian
+        (enumerable: N=2 spins x P=2 slices = 16 states)."""
+        prob = __import__(
+            "montecarlosolvers_tpu.models.ising", fromlist=["IsingProblem"]
+        ).IsingProblem.from_edges(2, [0], [1], [0.9], maxnb=1)
+        slices, temp, gamma, b = 2, 0.8, 0.7, 1.0
+        teff = temp * slices
+
+        # exact distribution over all (P, N) states
+        states = []
+        for bits in range(16):
+            s = np.array([(bits >> i) & 1 for i in range(4)]) * 2 - 1
+            states.append(s.reshape(2, 2).astype(np.float32))
+        states = jnp.asarray(np.stack(states))  # (16, P, N)
+        es = np.asarray(extended_energy(prob, states, temp, gamma, b=b))
+        w = np.exp(-es / teff)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 48, 1200, 200
+        key = jax.random.key(0)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 2, 2)), 1.0, -1.0
+        )
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(c, k):
+                c = piqmc_ops.local_sweep(prob, c, k, temp, gamma, b)
+                bits = (c > 0).astype(jnp.int32).reshape(c.shape[0], 4)
+                idx = bits @ jnp.asarray([1, 2, 4, 8])
+                return c, idx
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=16)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
 
 
 class TestAnneal:
