@@ -39,6 +39,30 @@ def _problem():
         return problem, None
 
 
+def _piqmc_rate(problem):
+    """Secondary metric: PIQMC local+global-move throughput at the
+    benchmark's P=40 with a VMEM-resident chain chunk."""
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.solvers import sa, qmc
+    from montecarlosolvers_tpu import schedules
+
+    P, chains, tau = 40, 8, 400
+    key = jax.random.key(2)
+    confs = qmc.replicate(
+        sa.random_state(key, problem.nspins, batch=(chains,)), P
+    )
+    a = schedules.transverse_field(3.0, 1e-8, tau)
+    b = jnp.ones_like(a)
+    out = qmc.anneal(problem, a, b, 1.0 / P, confs, key, global_moves=True)
+    np.asarray(out)
+    t0 = time.time()
+    out = qmc.anneal(problem, a, b, 1.0 / P, confs, jax.random.key(3),
+                     global_moves=True)
+    np.asarray(out)
+    dt = time.time() - t0
+    return float(tau) * problem.nspins * P * chains / dt
+
+
 def main():
     from montecarlosolvers_tpu.solvers import sa
     from montecarlosolvers_tpu import schedules
@@ -66,6 +90,10 @@ def main():
     extra = {}
     if e_gs is not None:
         extra["eps_res"] = float((es.mean() - e_gs) / nspins)
+    try:
+        extra["piqmc_attempts_per_sec"] = _piqmc_rate(problem)
+    except Exception:
+        pass
 
     print(
         json.dumps(

@@ -47,22 +47,33 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0):
 
 
 def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
-              global_moves=True):
+              global_moves=True, chunk=8):
     """One PIQMC point following the full MST protocol
     (examples/santoro80.py:269-296): pre-anneal, replicate, Gamma-anneal,
-    best-slice readout. Returns per-chain best-slice energies."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    best-slice readout. Returns per-chain best-slice energies.
+
+    Chains run in chunks of `chunk` so the (chunk, P, N) Trotter state
+    stays VMEM-resident (throughput collapses ~4x once it spills to HBM).
+    """
     temp = pt / slices
     fieldstart = 3.0 if pt == 1 else 2.5
-    s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
     pre = schedules.pre_anneal_schedule(pre_temp, pt)
-    s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
-    confs = qmc.replicate(s0, slices)
     a = schedules.transverse_field(fieldstart, 1e-8, int(tau))
     b = jnp.ones_like(a)
-    confs = qmc.anneal(problem, a, b, temp, confs, k3,
-                       global_moves=global_moves)
-    return np.asarray(qmc.best_slice_energy(problem, confs))
+    outs = []
+    done = 0
+    while done < reps:
+        n = min(chunk, reps - done)
+        kc = jax.random.fold_in(key, done)
+        k1, k2, k3 = jax.random.split(kc, 3)
+        s0 = sa.random_state(k1, problem.nspins, batch=(n,))
+        s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
+        confs = qmc.replicate(s0, slices)
+        confs = qmc.anneal(problem, a, b, temp, confs, k3,
+                           global_moves=global_moves)
+        outs.append(np.asarray(qmc.best_slice_energy(problem, confs)))
+        done += n
+    return np.concatenate(outs)
 
 
 def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
