@@ -1,3 +1,3 @@
-from montecarlosolvers_tpu.solvers import sa, qmc, svmc
+from montecarlosolvers_tpu.solvers import sa, qmc, svmc, pt
 
-__all__ = ["sa", "qmc", "svmc"]
+__all__ = ["sa", "qmc", "svmc", "pt"]
