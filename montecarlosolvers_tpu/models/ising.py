@@ -184,6 +184,49 @@ class IsingProblem:
         return cls.from_neighbor_table(generate_neighbors(nspins, J, maxnb))
 
     @classmethod
+    def from_qubo(cls, Q, maxnb=None):
+        """Build from a QUBO: minimize x^T Q x over x in {0,1}^n.
+
+        Uses the bit<->spin convention of tools.pyx:20-26 (bit 1 <-> spin
+        -1), i.e. x = (1 - s) / 2. The constant offset is returned so QUBO
+        objectives can be recovered: x Q x = H(s) + offset.
+
+        Returns (problem, offset).
+        """
+        Q = np.asarray(Q, dtype=np.float64)
+        n = Q.shape[0]
+        Q = (Q + Q.T) / 2.0  # symmetrize; off-diagonal pairs merge below
+        rows_l, cols_l, vals_l = [], [], []
+        h = np.zeros(n)
+        offset = 0.0
+        for i in range(n):
+            qii = Q[i, i]
+            # x_i = (1 - s_i)/2 -> qii x_i = qii/2 - (qii/2) s_i
+            h[i] += -qii / 2.0
+            offset += qii / 2.0
+            for j in range(i + 1, n):
+                qij = 2.0 * Q[i, j]  # symmetrized pair weight
+                if qij == 0.0:
+                    continue
+                # qij x_i x_j = qij/4 (1 - s_i - s_j + s_i s_j)
+                rows_l.append(i)
+                cols_l.append(j)
+                vals_l.append(qij / 4.0)
+                h[i] += -qij / 4.0
+                h[j] += -qij / 4.0
+                offset += qij / 4.0
+        for i in range(n):
+            if h[i] != 0.0:
+                rows_l.append(i)
+                cols_l.append(i)
+                vals_l.append(h[i])
+        problem = cls.from_edges(
+            n, np.array(rows_l, dtype=np.int64),
+            np.array(cols_l, dtype=np.int64), np.array(vals_l), maxnb=maxnb
+        )
+        return problem, float(offset)
+
+    @classmethod
     def from_edges(cls, nspins, rows, cols, vals, maxnb=None):
         """Build from COO triplets (diagonal entries = local fields)."""
         rows = np.asarray(rows)

@@ -6,3 +6,6 @@ from montecarlosolvers_tpu.parallel.mesh import (
 from montecarlosolvers_tpu.parallel import trotter
 
 __all__ = ["make_mesh", "shard_chains", "chain_sharding", "trotter"]
+from montecarlosolvers_tpu.parallel import disorder  # noqa: E402
+
+__all__.append("disorder")

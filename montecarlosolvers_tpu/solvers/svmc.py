@@ -24,12 +24,14 @@ from montecarlosolvers_tpu import schedules as sched_mod
 from montecarlosolvers_tpu.ops import svmc_ops
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "tf"))
-def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False):
+@partial(jax.jit, static_argnames=("mcsteps", "tf", "collect_energy"))
+def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
+           collect_energy=False):
     """SVMC anneal over (A, B) schedules at fixed temperature.
 
     theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
     tf=True uses transverse-field-informed proposals (svmc.pyx:198-207).
+    collect_energy emits per-sweep z-projected classical energies.
     Returns the annealed angles; project with ops.svmc_ops.z_projection.
     """
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
@@ -38,9 +40,16 @@ def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False):
 
     def body(th, x):
         ac, bc, k = x
-        return svmc_ops.svmc_sweep(problem, th, k, temp, ac, bc, tf=tf), None
+        th = svmc_ops.svmc_sweep(problem, th, k, temp, ac, bc, tf=tf)
+        e = (
+            problem.energy(svmc_ops.z_projection(th))
+            if collect_energy else None
+        )
+        return th, e
 
-    theta, _ = jax.lax.scan(body, theta, (a, b, keys))
+    theta, es = jax.lax.scan(body, theta, (a, b, keys))
+    if collect_energy:
+        return theta, es
     return theta
 
 

@@ -1,0 +1,81 @@
+"""Disorder batching: stacked coupling realizations must anneal identically
+to solo runs, in one launch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.models.ising import IsingProblem
+from montecarlosolvers_tpu.parallel import disorder
+from montecarlosolvers_tpu.solvers import sa
+from montecarlosolvers_tpu import schedules
+
+
+def _realizations(rng, n=3):
+    probs = []
+    base = None
+    for d in range(n):
+        r = np.random.default_rng(1234 + d)
+        prob, (rows, cols, vals) = instances.random_2d_lattice(4, rng=r)
+        probs.append(prob)
+    return probs
+
+
+class TestStack:
+    def test_stack_and_vmap_matches_solo(self, rng):
+        probs = _realizations(rng)
+        stacked, axes = disorder.stack_problems(probs)
+        key = jax.random.key(0)
+        keys = jax.random.split(key, len(probs))
+        states = sa.random_state(key, 16, batch=(len(probs), 4))
+        sched = schedules.linear(2.0, 0.1, 40)
+
+        run = disorder.vmap_disorder(sa.anneal, axes)
+        batched = run(stacked, sched, states, keys)
+
+        for d, p in enumerate(probs):
+            solo = sa.anneal(p, sched, states[d], keys[d])
+            assert np.array_equal(np.asarray(batched[d]), np.asarray(solo)), d
+
+    def test_rejects_mismatched_topology(self, rng):
+        a, _ = instances.random_2d_lattice(4, rng=np.random.default_rng(0))
+        b, _ = instances.random_graph(16, 20, rng=np.random.default_rng(1))
+        with pytest.raises(ValueError):
+            disorder.stack_problems([a, b])
+
+    def test_stacked_energy_batch(self, rng):
+        probs = _realizations(rng)
+        stacked, axes = disorder.stack_problems(probs)
+        s = jnp.ones((len(probs), 16))
+        es = jax.vmap(lambda p, x: p.energy(x), in_axes=(axes, 0))(stacked, s)
+        for d, p in enumerate(probs):
+            assert np.isclose(float(es[d]), float(p.energy(s[d])), rtol=1e-5)
+
+
+class TestQubo:
+    def test_qubo_objective_matches(self, rng):
+        n = 8
+        Q = rng.normal(size=(n, n))
+        prob, offset = IsingProblem.from_qubo(Q)
+        for _ in range(10):
+            x = rng.integers(0, 2, size=n)
+            s = 1 - 2 * x  # bit 1 <-> spin -1 (tools.pyx:20-22)
+            qobj = float(x @ Q @ x)
+            ising = float(prob.energy(jnp.asarray(s, dtype=jnp.float32)))
+            assert np.isclose(qobj, ising + offset, rtol=1e-4, atol=1e-4)
+
+    def test_qubo_ground_state_via_sa(self, rng):
+        n = 10
+        Q = rng.normal(size=(n, n))
+        prob, offset = IsingProblem.from_qubo(Q)
+        # brute force QUBO
+        xs = ((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1)
+        objs = np.einsum("bi,ij,bj->b", xs, Q, xs)
+        best = objs.min()
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, n, batch=(16,))
+        out = sa.anneal(prob, schedules.linear(3.0, 0.0, 300), s0, key)
+        es = np.asarray(prob.energy(out)) + offset
+        assert np.isclose(es.min(), best, atol=1e-3), (es.min(), best)
