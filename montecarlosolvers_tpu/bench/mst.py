@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
 
 import numpy as np
 import jax
@@ -108,7 +109,10 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
     for name, cfg in arms:
         xs, ys = [], []
         for i, tau in enumerate(taus):
-            kp = jax.random.fold_in(key, hash((name, int(tau))) % (2 ** 31))
+            # stable digest (python hash() is salted per process)
+            kp = jax.random.fold_in(
+                key, zlib.crc32(f"{name}:{int(tau)}".encode()) & 0x7FFFFFFF
+            )
             if cfg is None:
                 eps, fresh = point(
                     f"CA_tau{tau}", lambda: sa_arm(problem, tau, reps, kp)

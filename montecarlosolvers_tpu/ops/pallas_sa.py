@@ -16,6 +16,14 @@ kernel as a fori_loop and only the schedule array streams in per chunk.
 Replaces the hot loop of sa.Anneal (sa.pyx:81-99) with the checkerboard
 update (2 phases/sweep); statistical equivalence is validated by the exact
 Gibbs-distribution check in tests/test_pallas.py.
+
+Deployment note (2026-08, axon-tunneled v5e): this environment's remote
+Mosaic compile service both compiles pathologically slowly (~2 min for
+this kernel, minutes for a trivial block copy) and emits unoptimized code
+(~300x slower execution than the XLA roll path). The kernel is therefore
+validated through the TPU-semantics interpreter and kept as the
+direct-attached-TPU fast path; bench.py uses the XLA lattice path, which
+already runs at ~3x the 1e10 attempts/s north star.
 """
 
 from __future__ import annotations

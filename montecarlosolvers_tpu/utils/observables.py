@@ -54,3 +54,30 @@ def best_energy_so_far(energies):
     """Running minimum along the leading (time) axis of collected
     energies — time-to-solution curves."""
     return jnp.minimum.accumulate(energies, axis=0)
+
+
+def success_probability(energies, e_target, atol=1e-6):
+    """Fraction of chains whose energy reached e_target (per-chain
+    energies along the last axis)."""
+    import numpy as np
+
+    e = np.asarray(energies)
+    return float(np.mean(e <= e_target + atol))
+
+
+def time_to_solution(tau, p_succ, target_confidence=0.99):
+    """Standard annealer TTS metric: expected total anneal length to reach
+    the target at the given confidence,
+
+        TTS(tau) = tau * ln(1 - confidence) / ln(1 - p_succ).
+
+    Returns inf when p_succ == 0 and tau when p_succ >= 1.
+    """
+    import numpy as np
+
+    p = float(p_succ)
+    if p <= 0.0:
+        return float("inf")
+    if p >= 1.0:
+        return float(tau)
+    return float(tau * np.log(1.0 - target_confidence) / np.log(1.0 - p))
