@@ -35,7 +35,6 @@ from montecarlosolvers_tpu.models.ising import (
 from montecarlosolvers_tpu.solvers import sa as _sa
 from montecarlosolvers_tpu.solvers import qmc as _qmc
 from montecarlosolvers_tpu.solvers import svmc as _svmc
-from montecarlosolvers_tpu import schedules as _schedules
 
 __all__ = [
     "GenerateNeighbors", "ClassicalIsingEnergy", "bits2spins", "spins2bits",

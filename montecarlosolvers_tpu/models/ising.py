@@ -19,7 +19,6 @@ lists it in both endpoints' rows so dE is local.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
