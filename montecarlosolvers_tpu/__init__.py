@@ -29,12 +29,14 @@ from montecarlosolvers_tpu.models.ising import (
     spins2bits,
 )
 from montecarlosolvers_tpu import schedules
-from montecarlosolvers_tpu.solvers import sa, qmc, svmc
+from montecarlosolvers_tpu.models.lattice import LatticeProblem
+from montecarlosolvers_tpu.solvers import sa, qmc, svmc, pt
 
 __version__ = "0.1.0"
 
 __all__ = [
     "IsingProblem",
+    "LatticeProblem",
     "generate_neighbors",
     "classical_ising_energy",
     "bits2spins",
@@ -43,4 +45,5 @@ __all__ = [
     "sa",
     "qmc",
     "svmc",
+    "pt",
 ]

@@ -1,6 +1,7 @@
 from montecarlosolvers_tpu.utils import observables, profiling
 from montecarlosolvers_tpu.utils.checkpoint import (
     CheckpointedAnneal,
+    validate_state,
     save_neighbor_table,
     load_neighbor_table,
 )
@@ -9,6 +10,7 @@ __all__ = [
     "observables",
     "profiling",
     "CheckpointedAnneal",
+    "validate_state",
     "save_neighbor_table",
     "load_neighbor_table",
 ]

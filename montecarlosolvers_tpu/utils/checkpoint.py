@@ -29,6 +29,22 @@ def load_neighbor_table(path):
     return np.load(path)
 
 
+def validate_state(state, domain="ising"):
+    """Failure detection for long runs: raise if a state left its domain
+    (NaNs from a bad schedule, corrupted restore, ...). domain: "ising"
+    (+/-1) or "angles" ([0, pi])."""
+    arr = np.asarray(state)
+    if not np.isfinite(arr).all():
+        raise FloatingPointError("state contains non-finite values")
+    if domain == "ising":
+        if not np.isin(arr, (-1.0, 1.0)).all():
+            raise ValueError("ising state left the +/-1 domain")
+    elif domain == "angles":
+        if arr.min() < -1e-6 or arr.max() > np.pi + 1e-6:
+            raise ValueError("angle state left [0, pi]")
+    return state
+
+
 class CheckpointedAnneal:
     """Run any schedule-scanned solver in resumable segments.
 
@@ -38,12 +54,15 @@ class CheckpointedAnneal:
 
     After a crash, re-running the same call resumes from the last completed
     segment. The key advances deterministically per segment (fold_in), so a
-    resumed run is bit-identical to an uninterrupted one.
+    resumed run is bit-identical to an uninterrupted one. With
+    validate="ising"/"angles", each segment is domain-checked before the
+    snapshot is written (a corrupt segment never overwrites a good one).
     """
 
-    def __init__(self, path, segment=100_000):
+    def __init__(self, path, segment=100_000, validate=None):
         self.path = path
         self.segment = int(segment)
+        self.validate = validate
 
     def _load(self):
         if not os.path.exists(self.path):
@@ -72,6 +91,8 @@ class CheckpointedAnneal:
             seg = sched[i * self.segment:(i + 1) * self.segment]
             seg_key = jax.random.fold_in(key, i)
             state = solver_fn(jnp.asarray(seg), state, seg_key)
+            if self.validate is not None:
+                validate_state(state, self.validate)
             self._save(i + 1, state)
             if verbose:
                 print(f"segment {i + 1}/{n_seg} checkpointed")

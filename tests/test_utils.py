@@ -108,3 +108,22 @@ class TestMstHarness:
         results = {"CA": (np.array([10, 100]), np.array([0.1, 0.01]))}
         mst.plot_results(results, path=str(tmp_path / "p.png"))
         assert os.path.exists(tmp_path / "p.png")
+
+
+class TestValidateState:
+    def test_accepts_valid(self):
+        from montecarlosolvers_tpu.utils.checkpoint import validate_state
+
+        validate_state(np.array([1.0, -1.0, 1.0]), "ising")
+        validate_state(np.array([0.0, 1.5, np.pi]), "angles")
+
+    def test_rejects_corruption(self):
+        import pytest as _pytest
+        from montecarlosolvers_tpu.utils.checkpoint import validate_state
+
+        with _pytest.raises(FloatingPointError):
+            validate_state(np.array([1.0, np.nan]), "ising")
+        with _pytest.raises(ValueError):
+            validate_state(np.array([1.0, 0.5]), "ising")
+        with _pytest.raises(ValueError):
+            validate_state(np.array([4.0]), "angles")
