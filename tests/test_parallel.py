@@ -126,3 +126,22 @@ class TestTrotterSharding:
         )
         assert out.shape == confs.shape
         assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+    def test_dissipative_energy_nonincreasing_sharded(self, rng, eight_devices):
+        """T -> 0 monotonicity for the sharded dissipative sweep (matches
+        the single-device invariant in test_qmc.py)."""
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        slices = 8
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(5)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        confs = confs.at[2, :3].multiply(-1.0)
+        temp, gamma = 1e-6, 0.9
+        lut = schedules.bath_lookuptable(slices, 1e-2)
+        a = jnp.full((3,), gamma)
+        e0 = float(extended_energy(prob, confs, temp, gamma, lookuptable=lut))
+        out = trotter.anneal_sharded(
+            prob, a, jnp.ones(3), temp, confs, key, mesh, lookuptable=lut
+        )
+        e1 = float(extended_energy(prob, out, temp, gamma, lookuptable=lut))
+        assert e1 <= e0 + 1e-3, (e0, e1)
