@@ -42,6 +42,23 @@ class FlipCounter:
         return self.attempts / self.elapsed if self.elapsed else float("nan")
 
 
+def suggest_chains(nspins, slices=1, vmem_budget_bytes=12 << 20,
+                   dtype_bytes=4, round_to=8):
+    """Largest chain batch whose state stays VMEM-resident.
+
+    Throughput collapses ~3-4x once the chain-batched state spills from
+    VMEM to HBM (measured on v5e: SA 512 chains x 80x80 f32 ~ 13MB is the
+    sweet spot; 1024 drops ~3x — see ARCHITECTURE.md §4). Budget defaults
+    to 12MB of the ~16MB VMEM, leaving room for coupling planes and
+    temporaries.
+    """
+    per_chain = nspins * slices * dtype_bytes
+    n = max(1, int(vmem_budget_bytes // per_chain))
+    if n > round_to:
+        n = (n // round_to) * round_to
+    return n
+
+
 @contextlib.contextmanager
 def trace(logdir="/tmp/mcs_tpu_trace"):
     """JAX profiler trace context — open in XProf/TensorBoard."""
