@@ -48,7 +48,11 @@ __all__ = [
     "SpinVectorMonteCarloTFCompact",
 ]
 
-_problem_cache = {}
+import collections
+import hashlib
+
+_problem_cache = collections.OrderedDict()
+_PROBLEM_CACHE_MAX = 32
 
 
 def _key(seed):
@@ -64,21 +68,34 @@ def _key(seed):
 
 def _problem(nbs):
     nbs = np.asarray(nbs)
-    h = hash(nbs.tobytes())
-    prob = _problem_cache.get(h)
+    digest = hashlib.sha1(nbs.tobytes()).digest()
+    prob = _problem_cache.get(digest)
     if prob is None:
         prob = IsingProblem.from_neighbor_table(nbs)
-        _problem_cache[h] = prob
+        _problem_cache[digest] = prob
+        while len(_problem_cache) > _PROBLEM_CACHE_MAX:
+            _problem_cache.popitem(last=False)
+    else:
+        _problem_cache.move_to_end(digest)
     return prob
 
 
 def _split_noisy(nbs4d):
-    """(S, N, maxnb, 2) time-dependent table -> problem (step 0 topology)
-    plus per-step (S, N, maxnb) couplings and (S, N) fields."""
+    """(S, N, maxnb, 2) time-dependent table -> problem + per-step
+    (S, N, maxnb) couplings and (S, N) fields.
+
+    The coloring/padding topology is built from the UNION of slots active
+    at any schedule step (max |J| over time): a coupling that is zero at
+    step 0 but ramps up later (noise/control trajectories, the advertised
+    use case of sa.NoisyAnneal) must still count as an edge, or two
+    interacting spins could share a color class.
+    """
     nbs4d = np.asarray(nbs4d)
-    prob = _problem(nbs4d[0])
     idx = nbs4d[:, :, :, 0].astype(np.int64)
     val = nbs4d[:, :, :, 1]
+    topo = nbs4d[0].copy()
+    topo[:, :, 1] = np.abs(val).max(axis=0)
+    prob = _problem(topo)
     own = np.arange(nbs4d.shape[1])[None, :, None]
     is_self = idx == own
     h_t = np.where(is_self, val, 0.0).sum(axis=2)

@@ -16,10 +16,7 @@ import numpy as np
 
 from montecarlosolvers_tpu.models.ising import IsingProblem
 
-_DEFAULT_DIRS = (
-    os.environ.get("MCS_TPU_INSTANCE_DIR", ""),
-    "/root/reference/examples/ising_instances",
-)
+_FALLBACK_DIR = "/root/reference/examples/ising_instances"
 
 # Certified ground-state energy per spin for the 80x80 Gaussian instance
 # (Spin Glass Server certificate, santoro_80x80_answer.txt:24). The energy is
@@ -30,7 +27,8 @@ SANTORO_MAXNB = 4
 
 
 def _find_instance(name):
-    for d in _DEFAULT_DIRS:
+    # env read per call so setting MCS_TPU_INSTANCE_DIR after import works
+    for d in (os.environ.get("MCS_TPU_INSTANCE_DIR", ""), _FALLBACK_DIR):
         if d and os.path.isfile(os.path.join(d, name)):
             return os.path.join(d, name)
     return None

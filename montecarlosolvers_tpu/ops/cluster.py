@@ -47,6 +47,16 @@ def _bond_prob(de, teff):
     return jnp.where(de < 0.0, 1.0 - jnp.exp(de / teff), 0.0)
 
 
+def _mirror_upper(u):
+    """Symmetrize per-pair uniforms over the last two axes by mirroring the
+    upper triangle — each undirected pair gets exactly ONE draw (taking a
+    min would inflate the bond probability to 1-(1-p)^2)."""
+    n = u.shape[-1]
+    r = jnp.arange(n)
+    upper = r[:, None] < r[None, :]
+    return jnp.where(upper, u, jnp.swapaxes(u, -1, -2))
+
+
 # --------------------------------------------------------------------------
 # Full space-time Wolff cluster (QuantumAnnealWCL / QuantumAnnealWC)
 # --------------------------------------------------------------------------
@@ -167,7 +177,7 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
         de_b = de_b[None, :, :] + bias[:, None, None]  # (N, P, P)
         p_b = jnp.where(off[None] > 0, _bond_prob(de_b, teff), 0.0)
         u_b = jax.random.uniform(k_bath, (nspins, slices, slices))
-        u_b = jnp.minimum(u_b, jnp.swapaxes(u_b, -1, -2))
+        u_b = _mirror_upper(u_b)  # one draw per undirected pair
         same_t = same.T  # (N, P)
         active_bath = (u_b < p_b) & same_t[:, :, None] & same_t[:, None, :]
 
@@ -246,7 +256,7 @@ def bath_cluster_phase(problem, confs, key, temp, gamma, b, lookuptable,
     same = confs == kval[None, :]  # (P, N)
 
     u = jax.random.uniform(k_bond, (nspins, slices, slices))
-    u = jnp.minimum(u, jnp.swapaxes(u, -1, -2))  # symmetric undirected draw
+    u = _mirror_upper(u)  # one draw per undirected pair
     adj = (u < p_pair[None, :, :]) & same.T[:, :, None] & same.T[:, None, :]
 
     closure = _time_closure(adj)  # (N, P, P)

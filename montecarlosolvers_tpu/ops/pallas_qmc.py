@@ -74,9 +74,12 @@ def _qmc_kernel(seed_ref, a_ref, b_ref, jr, jl, jd, ju, h, s_in, s_out, *,
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
     parity = (rows + cols) % 2
     stc = (parity + k_ids) % m
+    # globally unique site id: stride by the full (P, R, C) volume so no
+    # two physical sites ever share an RNG stream
+    plane = shape[2] * shape[3]
     site_ids = (
-        (chain_ids + i * shape[0]) * jnp.int32(991 * 7919)
-        + k_ids * jnp.int32(7919)
+        (chain_ids + i * shape[0]) * jnp.int32(shape[1] * plane)
+        + k_ids * jnp.int32(plane)
         + rows * jnp.int32(shape[3])
         + cols
     )

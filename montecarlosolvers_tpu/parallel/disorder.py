@@ -28,6 +28,8 @@ def stack_problems(problems):
     pytree to pass as the problem's vmap in_axes (couplings mapped, topology
     broadcast).
     """
+    from montecarlosolvers_tpu.models.coloring import greedy_coloring
+
     p0 = problems[0]
     idx0 = np.asarray(p0.nbr_idx)
     for p in problems[1:]:
@@ -35,13 +37,22 @@ def stack_problems(problems):
             raise ValueError("problems must share topology")
         if not np.array_equal(np.asarray(p.nbr_idx), idx0):
             raise ValueError("problems must share the neighbor structure")
+    # Recolor topology-only (every non-self slot counts as an edge): a slot
+    # that is zero in p0 but nonzero in another realization must still
+    # separate its endpoints, or the stacked colored sweep would race.
+    colors, num_colors = greedy_coloring(idx0, None)
+    color_masks = jnp.asarray(
+        colors[None, :] == np.arange(num_colors)[:, None]
+    )
     stacked = dataclasses.replace(
         p0,
         nbr_J=jnp.stack([p.nbr_J for p in problems]),
         h=jnp.stack([p.h for p in problems]),
+        color_masks=color_masks,
+        num_colors=int(num_colors),
     )
     in_axes = dataclasses.replace(
-        _axes_like(p0), nbr_J=0, h=0
+        _axes_like(stacked), nbr_J=0, h=0
     )
     return stacked, in_axes
 

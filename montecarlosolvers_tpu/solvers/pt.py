@@ -67,8 +67,10 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
     temps = jnp.asarray(temps)
     keys = jax.random.split(key, nsweeps)
 
+    M = temps.shape[0]
+
     def body(carry, k):
-        states, nacc, natt = carry
+        states, nacc, npairs, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
         states = colored_metropolis_sweep(problem, states, k1, temps[:, None])
         i = natt  # sweep counter doubles as swap parity clock
@@ -82,15 +84,15 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
             do_swap, with_swap, lambda s: (s, jnp.zeros_like(temps, bool)),
             states,
         )
+        # pairs actually attempted this step: anchors k%2==parity, k+1<M
+        attempted = jnp.where(do_swap, (M - parity) // 2, 0)
         e = problem.energy(states) if collect_energy else None
-        return (states, nacc + acc.sum(), natt + 1), e
+        return (states, nacc + acc.sum(), npairs + attempted, natt + 1), e
 
-    (states, nacc, natt), es = jax.lax.scan(
-        body, (states, jnp.asarray(0), jnp.asarray(0)), keys
+    (states, nacc, npairs, _), es = jax.lax.scan(
+        body, (states, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0)), keys
     )
-    n_attempts = (nsweeps + swap_every - 1) // swap_every
-    pairs_per_attempt = jnp.maximum((temps.shape[0] - 1 + 1) // 2, 1)
-    swap_rate = nacc / (n_attempts * pairs_per_attempt)
+    swap_rate = nacc / jnp.maximum(npairs, 1)
     if collect_energy:
         return states, swap_rate, es
     return states, swap_rate

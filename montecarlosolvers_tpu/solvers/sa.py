@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from montecarlosolvers_tpu import schedules as sched_mod
 from montecarlosolvers_tpu.ops.metropolis import (
-    colored_metropolis_sweep,
     noisy_colored_sweep,
+    sweep_scan,
 )
 
 
@@ -49,14 +49,9 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
       spins (same shape), or (spins, energies) when collect_energy.
     """
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
-    keys = jax.random.split(key, temps.shape[0])
-
-    def body(s, x):
-        t, k = x
-        s = colored_metropolis_sweep(problem, s, k, t)
-        return s, (problem.energy(s) if collect_energy else None)
-
-    spins, es = jax.lax.scan(body, spins, (temps, keys))
+    spins, es = sweep_scan(
+        problem, spins, key, temps, collect_energy=collect_energy
+    )
     if collect_energy:
         return spins, es
     return spins
