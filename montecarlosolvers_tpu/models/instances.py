@@ -150,6 +150,55 @@ def random_graph(nspins, nedges, rng=None, with_fields=False):
     return problem, (rows, cols, vals)
 
 
+def sk_model(nspins, rng=None):
+    """Sherrington-Kirkpatrick fully-connected spin glass: J_ij ~
+    N(0, 1/N) for all pairs."""
+    rng = np.random.default_rng(rng)
+    iu = np.triu_indices(nspins, k=1)
+    vals = rng.normal(scale=1.0 / np.sqrt(nspins), size=iu[0].shape)
+    problem = IsingProblem.from_edges(
+        nspins, iu[0], iu[1], vals, maxnb=nspins - 1
+    )
+    return problem, (iu[0], iu[1], vals)
+
+
+def chimera_graph(m, n=None, t=4, rng=None, dist="pm1"):
+    """D-Wave-style Chimera topology C_{m,n,t}: an m x n grid of K_{t,t}
+    unit cells, vertical couplers between left partitions of vertically
+    adjacent cells, horizontal couplers between right partitions of
+    horizontally adjacent cells. Returns (problem, (rows, cols, vals))."""
+    n = m if n is None else n
+    rng = np.random.default_rng(rng)
+
+    def node(r, c, side, k):
+        return ((r * n + c) * 2 + side) * t + k
+
+    rows, cols = [], []
+    for r in range(m):
+        for c in range(n):
+            for a in range(t):  # intra-cell bipartite K_{t,t}
+                for b in range(t):
+                    rows.append(node(r, c, 0, a))
+                    cols.append(node(r, c, 1, b))
+            if r + 1 < m:  # vertical couplers: left partition
+                for k in range(t):
+                    rows.append(node(r, c, 0, k))
+                    cols.append(node(r + 1, c, 0, k))
+            if c + 1 < n:  # horizontal couplers: right partition
+                for k in range(t):
+                    rows.append(node(r, c, 1, k))
+                    cols.append(node(r, c + 1, 1, k))
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    if dist == "pm1":
+        vals = rng.choice([-1.0, 1.0], size=rows.shape)
+    else:
+        vals = rng.normal(size=rows.shape)
+    nspins = m * n * 2 * t
+    problem = IsingProblem.from_edges(nspins, rows, cols, vals, maxnb=t + 2)
+    return problem, (rows, cols, vals)
+
+
 def dense_matrix(nspins, rows, cols, vals):
     """Dense (N, N) coupling matrix from triplets (for oracle energy checks)."""
     J = np.zeros((nspins, nspins))

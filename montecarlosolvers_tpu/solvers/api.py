@@ -1,0 +1,113 @@
+"""High-level one-call solving API.
+
+The reference's "API by example" is a hand-rolled driver script
+(examples/santoro80.py); production users expect a sampler-style entry
+point. `solve` wraps the solver families behind presets and returns a
+`SampleSet` (samples sorted by energy, like contemporary annealer SDKs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu import schedules
+from montecarlosolvers_tpu.solvers import sa as sa_mod
+from montecarlosolvers_tpu.solvers import qmc as qmc_mod
+from montecarlosolvers_tpu.solvers import svmc as svmc_mod
+from montecarlosolvers_tpu.solvers import pt as pt_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleSet:
+    """Solve result: states sorted by energy (ascending)."""
+
+    samples: np.ndarray   # (num_reads, N) +/-1
+    energies: np.ndarray  # (num_reads,)
+    info: dict
+
+    @property
+    def best(self):
+        return self.samples[0]
+
+    @property
+    def best_energy(self):
+        return float(self.energies[0])
+
+    def __len__(self):
+        return self.samples.shape[0]
+
+
+def _finalize(problem, states, info):
+    states = np.asarray(states)
+    energies = np.asarray(problem.energy(jnp.asarray(states)))
+    order = np.argsort(energies)
+    return SampleSet(states[order], energies[order], info)
+
+
+def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
+    """Anneal `num_reads` independent trajectories and return a SampleSet.
+
+    method:
+      "sa"    — classical simulated annealing; kw: t_start=3.0, t_end=0.0.
+      "piqmc" — MST path-integral QMC with global moves; kw: slices=20,
+                pt=1.0, field_start=3.0, pre_anneal=True.
+      "svmc"  — spin-vector MC with TF proposals; kw: field_start=3.0,
+                temp=0.05.
+      "pt"    — parallel tempering; kw: t_min=0.1, t_max=3.0, ladder=16
+                (num_reads independent ladders are run; the coldest rung
+                of each is returned).
+    """
+    key = jax.random.key(seed)
+    n = problem.nspins
+    info = dict(method=method, num_reads=num_reads, sweeps=sweeps, seed=seed)
+
+    if method == "sa":
+        sched = schedules.linear(kw.get("t_start", 3.0), kw.get("t_end", 0.0),
+                                 sweeps)
+        s0 = sa_mod.random_state(key, n, batch=(num_reads,))
+        out = sa_mod.anneal(problem, sched, s0, key)
+        return _finalize(problem, out, info)
+
+    if method == "piqmc":
+        slices = kw.get("slices", 20)
+        pt = kw.get("pt", 1.0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s0 = sa_mod.random_state(k1, n, batch=(num_reads,))
+        if kw.get("pre_anneal", True):
+            pre = schedules.pre_anneal_schedule(3.0, pt)
+            s0 = sa_mod.anneal(problem, pre, s0, k2, mcsteps=10)
+        confs = qmc_mod.replicate(s0, slices)
+        a = schedules.transverse_field(kw.get("field_start", 3.0), 1e-8,
+                                       sweeps)
+        confs = qmc_mod.anneal(problem, a, jnp.ones_like(a), pt / slices,
+                               confs, k3, global_moves=True)
+        # best slice per read
+        es = np.asarray(problem.energy(confs))  # (reads, P)
+        best_k = es.argmin(axis=-1)
+        states = np.asarray(confs)[np.arange(num_reads), best_k]
+        return _finalize(problem, states, info)
+
+    if method == "svmc":
+        a = schedules.linear(kw.get("field_start", 3.0), 1e-8, sweeps)
+        th = svmc_mod.random_state(key, n, batch=(num_reads,))
+        out = svmc_mod.anneal(problem, a, jnp.ones_like(a),
+                              kw.get("temp", 0.05), th, key, tf=True)
+        return _finalize(problem, svmc_mod.z_projection(out), info)
+
+    if method == "pt":
+        ladder = kw.get("ladder", 16)
+        temps = pt_mod.geometric_ladder(kw.get("t_min", 0.1),
+                                        kw.get("t_max", 3.0), ladder)
+        keys = jax.random.split(key, num_reads)
+        states = sa_mod.random_state(key, n, batch=(num_reads, ladder))
+        outs, rates = jax.vmap(
+            lambda s, k: pt_mod.sample(problem, temps, s, k, sweeps)
+        )(states, keys)
+        info["mean_swap_rate"] = float(np.asarray(rates).mean())
+        return _finalize(problem, np.asarray(outs)[:, 0], info)
+
+    raise ValueError(f"unknown method: {method}")
