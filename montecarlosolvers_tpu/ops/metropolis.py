@@ -24,6 +24,20 @@ def metropolis_accept(de, temp, u):
     return (de <= 0.0) | (u < jnp.exp(-de / temp))
 
 
+# Color loops with at most this many phases are unrolled (best fusion);
+# beyond it (dense graphs: a complete graph needs N colors) the loop runs
+# as lax.fori so program size stays O(1) in the color count.
+MAX_UNROLLED_COLORS = 8
+
+
+def _color_loop(num_colors, phase_fn, spins):
+    if num_colors <= MAX_UNROLLED_COLORS:
+        for c in range(num_colors):
+            spins = phase_fn(c, spins)
+        return spins
+    return jax.lax.fori_loop(0, num_colors, phase_fn, spins)
+
+
 def colored_metropolis_sweep(problem, spins, key, temp, b_coeff=None):
     """One full sweep of single-spin Metropolis updates over all spins.
 
@@ -44,12 +58,14 @@ def colored_metropolis_sweep(problem, spins, key, temp, b_coeff=None):
     # Color classes partition the sites, so each site's uniform is consumed
     # in exactly one phase — one draw serves the whole sweep.
     u = jax.random.uniform(key, spins.shape)
-    for c in range(problem.num_colors):
+
+    def phase(c, spins):
         field = problem.local_fields(spins)
         de = b_coeff * spins * field
         accept = metropolis_accept(de, temp, u) & problem.color_masks[c]
-        spins = jnp.where(accept, -spins, spins)
-    return spins
+        return jnp.where(accept, -spins, spins)
+
+    return _color_loop(problem.num_colors, phase, spins)
 
 
 def sweep_scan(problem, spins, key, temps, b_coeffs=None, collect_energy=False):
@@ -95,11 +111,13 @@ def noisy_colored_sweep(problem, nbr_J_t, h_t, spins, key, temp):
     4-D `nbs` array (sa.pyx:308-311) becomes a scanned input.
     """
     u = jax.random.uniform(key, spins.shape)
-    for c in range(problem.num_colors):
+
+    def phase(c, spins):
         s = spins.astype(nbr_J_t.dtype)
         sj = jnp.take(s, problem.nbr_idx, axis=-1)
         field = jnp.sum(nbr_J_t * sj, axis=-1) + h_t
         de = -2.0 * s * field
         accept = metropolis_accept(de, temp, u) & problem.color_masks[c]
-        spins = jnp.where(accept, -spins, spins)
-    return spins
+        return jnp.where(accept, -spins, spins)
+
+    return _color_loop(problem.num_colors, phase, spins)

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.models.coloring import ring_coloring
-from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept, _color_loop
 from montecarlosolvers_tpu.schedules import jperp as jperp_of
 
 
@@ -95,14 +95,16 @@ def local_sweep(problem, confs, key, temp, gamma, b, num_phases=None):
     stc = (spatial_colors[None, :] + jnp.arange(slices)[:, None]) % m  # (P,N)
     # Phases partition all sites — one uniform draw serves the whole sweep.
     u = jax.random.uniform(key, confs.shape)
-    for p in range(m):
+
+    def phase(p, confs):
         field = problem.local_fields(confs)  # (..., P, N)
         s_up = jnp.roll(confs, 1, axis=-2)
         s_dn = jnp.roll(confs, -1, axis=-2)
         de = b_coeff * confs * field + 2.0 * confs * jp * (s_up + s_dn)
         accept = metropolis_accept(de, teff, u) & (stc == p)
-        confs = jnp.where(accept, -confs, confs)
-    return confs
+        return jnp.where(accept, -confs, confs)
+
+    return _color_loop(m, phase, confs)
 
 
 def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
@@ -130,7 +132,8 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
         row = jax.lax.dynamic_index_in_dim(bath_mat, k, axis=0, keepdims=False)
         bath_field = jnp.einsum("p,...pn->...n", row, confs)
         u_k = jax.lax.dynamic_index_in_dim(u, k, axis=-2, keepdims=False)
-        for c in range(problem.num_colors):
+
+        def phase(c, s_k):
             field = problem.local_fields(s_k)
             de = (
                 b_coeff * s_k * field
@@ -138,7 +141,9 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
                 + 2.0 * teff * s_k * bath_field
             )
             accept = metropolis_accept(de, teff, u_k) & problem.color_masks[c]
-            s_k = jnp.where(accept, -s_k, s_k)
+            return jnp.where(accept, -s_k, s_k)
+
+        s_k = _color_loop(problem.num_colors, phase, s_k)
         return jax.lax.dynamic_update_index_in_dim(confs, s_k, k, axis=-2)
 
     return jax.lax.fori_loop(0, slices, slice_body, confs)
@@ -155,9 +160,11 @@ def global_line_moves(problem, confs, key, temp, b):
     teff = temp * slices
     b_coeff = -2.0 * b
     u = jax.random.uniform(key, confs.shape[:-2] + confs.shape[-1:])
-    for c in range(problem.num_colors):
+
+    def phase(c, confs):
         field = problem.local_fields(confs)  # (..., P, N)
         de = jnp.sum(b_coeff * confs * field, axis=-2)  # (..., N)
         accept = metropolis_accept(de, teff, u) & problem.color_masks[c]
-        confs = jnp.where(accept[..., None, :], -confs, confs)
-    return confs
+        return jnp.where(accept[..., None, :], -confs, confs)
+
+    return _color_loop(problem.num_colors, phase, confs)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept, _color_loop
 
 PI = jnp.pi
 
@@ -56,15 +56,17 @@ def svmc_sweep(problem, theta, key, temp, a_coeff, b_coeff, tf=False):
     ku, ka = jax.random.split(key)
     u_prop = jax.random.uniform(ku, theta.shape)
     u_acc = jax.random.uniform(ka, theta.shape)
-    for c in range(problem.num_colors):
+
+    def phase(c, theta):
         if tf:
             prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
             prop = propose_uniform(u_prop)
         de = _delta_e(problem, theta, prop, a_coeff, b_coeff)
         accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
-        theta = jnp.where(accept, prop, theta)
-    return theta
+        return jnp.where(accept, prop, theta)
+
+    return _color_loop(problem.num_colors, phase, theta)
 
 
 def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, tf=False):
@@ -74,7 +76,8 @@ def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, 
     ku, ka = jax.random.split(key)
     u_prop = jax.random.uniform(ku, theta.shape)
     u_acc = jax.random.uniform(ka, theta.shape)
-    for c in range(problem.num_colors):
+
+    def phase(c, theta):
         if tf:
             prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
@@ -85,8 +88,9 @@ def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, 
         zfield = jnp.sum(nbr_J_t * cos_nb, axis=-1) + h_t
         de = b_coeff * zmagdiff * zfield + a_coeff * (jnp.sin(theta) - jnp.sin(prop))
         accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
-        theta = jnp.where(accept, prop, theta)
-    return theta
+        return jnp.where(accept, prop, theta)
+
+    return _color_loop(problem.num_colors, phase, theta)
 
 
 def z_projection(theta):
