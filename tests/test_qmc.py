@@ -159,6 +159,58 @@ class TestSpacetimeColoring:
         assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
 
 
+class TestDissipativeGibbs:
+    def test_dissipative_sweep_samples_extended_gibbs(self, rng):
+        """Slice-sequential dissipative sweep must sample the exact
+        Boltzmann distribution of the bath-extended Hamiltonian
+        (N=2, P=2, 16 states)."""
+        from montecarlosolvers_tpu.models.ising import IsingProblem
+
+        prob = IsingProblem.from_edges(2, [0], [1], [0.8], maxnb=1)
+        slices, temp, gamma, b = 2, 0.9, 0.6, 1.0
+        teff = temp * slices
+        lut = schedules.bath_lookuptable(slices, 0.05)
+        bath_mat = piqmc_ops.bath_matrix(lut, slices)
+
+        states = []
+        for bits in range(16):
+            s = np.array([(bits >> i) & 1 for i in range(4)]) * 2 - 1
+            states.append(s.reshape(2, 2).astype(np.float32))
+        states = jnp.asarray(np.stack(states))
+        es = np.asarray(
+            extended_energy(prob, states, temp, gamma, b=b, lookuptable=lut)
+        )
+        w = np.exp(-es / teff)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 48, 1200, 200
+        key = jax.random.key(8)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 2, 2)), 1.0, -1.0
+        )
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(c, k):
+                c = piqmc_ops.dissipative_local_sweep(
+                    prob, c, k, temp, gamma, b, bath_mat
+                )
+                bits = (c > 0).astype(jnp.int32).reshape(c.shape[0], 4)
+                idx = bits @ jnp.asarray([1, 2, 4, 8])
+                return c, idx
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=16)
+        p_emp = counts / counts.sum()
+        # ~48k correlated samples: 3-sigma of a p~0.38 bin is ~0.012
+        assert np.max(np.abs(p_emp - p_exact)) < 0.015, (p_emp, p_exact)
+
+
 class TestAnneal:
     def test_mst_protocol_finds_ground_state(self, rng):
         """Full benchmark protocol (examples/santoro80.py:269-296) on a
