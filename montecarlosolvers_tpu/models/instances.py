@@ -150,6 +150,17 @@ def random_graph(nspins, nedges, rng=None, with_fields=False):
     return problem, (rows, cols, vals)
 
 
+def save_triplets(path, rows, cols, vals, one_indexed=True):
+    """Write an instance in the reference's `i j J_ij` triplet format
+    (interoperable with examples/ising_instances/*.txt)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    off = 1 if one_indexed else 0
+    with open(path, "w") as f:
+        for a, b, v in zip(rows, cols, np.asarray(vals)):
+            f.write(f"{int(a) + off} {int(b) + off} {v:.10g}\n")
+
+
 def sk_model(nspins, rng=None):
     """Sherrington-Kirkpatrick fully-connected spin glass: J_ij ~
     N(0, 1/N) for all pairs."""

@@ -64,3 +64,38 @@ class TestGenerators:
         e_gs, _ = brute_force_ground(prob)
         res = solve(prob, method="sa", num_reads=16, sweeps=300, seed=0)
         assert np.isclose(res.best_energy, e_gs, atol=1e-3)
+
+
+class TestCli:
+    def test_solve_command(self, tmp_path, rng):
+        import subprocess, sys, os, json
+
+        prob, (r, c, v) = instances.random_2d_lattice(
+            4, rng=np.random.default_rng(3)
+        )
+        inst = tmp_path / "inst.txt"
+        instances.save_triplets(inst, r, c, v)
+        # strip the axon sitecustomize dir so the subprocess is truly
+        # CPU-hermetic (it would otherwise grab the TPU tunnel)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+        out = subprocess.run(
+            [sys.executable, "-m", "montecarlosolvers_tpu", "solve",
+             str(inst), "--method", "sa", "--num-reads", "8",
+             "--sweeps", "200", "--lattice", "4",
+             "--out", str(tmp_path / "res.npz")],
+            capture_output=True, text=True, env=env, timeout=240,
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        e_gs, _ = brute_force_ground(prob)
+        assert payload["best_energy"] <= e_gs + 0.15 * abs(e_gs)
+        d = np.load(tmp_path / "res.npz")
+        assert d["samples"].shape == (8, 16)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        r = np.array([0, 1]); c = np.array([1, 2]); v = np.array([0.5, -1.25])
+        p = tmp_path / "t.txt"
+        instances.save_triplets(p, r, c, v)
+        r2, c2, v2 = instances.load_triplets(p)
+        assert np.array_equal(r, r2) and np.array_equal(c, c2)
+        assert np.allclose(v, v2)
