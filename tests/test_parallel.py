@@ -145,3 +145,39 @@ class TestTrotterSharding:
         )
         e1 = float(extended_energy(prob, out, temp, gamma, lookuptable=lut))
         assert e1 <= e0 + 1e-3, (e0, e1)
+
+    def test_sharded_equilibrium_matches_exact(self, rng, eight_devices):
+        """Distribution-level check of the Trotter-sharded sweep: at fixed
+        (Gamma, T) the mean extended energy over many converged chains must
+        match the exact Boltzmann average (N=2 x P=8: 65536 states)."""
+        from montecarlosolvers_tpu.models.ising import IsingProblem
+
+        prob = IsingProblem.from_edges(2, [0], [1], [0.8], maxnb=1)
+        # weak Trotter coupling (jperp ~ 0.5 << teff) so the chain mixes
+        # fast; strongly-coupled parameter sets are metastable at this
+        # length and test trapping, not the stationary measure
+        slices, temp, gamma = 8, 0.8, 8.0
+        teff = temp * slices
+
+        # exact <E> by enumeration
+        nbits = 2 * slices
+        bits = ((np.arange(1 << nbits)[:, None] >> np.arange(nbits)) & 1)
+        states = (bits * 2 - 1).reshape(-1, slices, 2).astype(np.float32)
+        es = np.asarray(extended_energy(prob, jnp.asarray(states), temp, gamma))
+        w = np.exp((es.min() - es) / teff)
+        e_exact = float((w * es).sum() / w.sum())
+
+        mesh = make_mesh(replica=8)
+        key = jax.random.key(9)
+        chains = 192
+        confs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        a = jnp.full((250,), gamma)
+        out = trotter.anneal_sharded(
+            prob, a, jnp.ones_like(a), temp, confs, key, mesh
+        )
+        e_emp = float(np.asarray(
+            extended_energy(prob, out, temp, gamma)).mean())
+        # 192 iid converged chains; energy scale O(1)
+        assert abs(e_emp - e_exact) < 0.35, (e_emp, e_exact)
