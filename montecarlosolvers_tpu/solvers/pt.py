@@ -99,5 +99,12 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
 
 
 def geometric_ladder(t_min, t_max, num):
-    """Geometric temperature ladder — the standard PT spacing."""
+    """Geometric temperature ladder — the standard PT spacing.
+
+    Sizing guidance (measured on the 80x80 benchmark): adjacent-rung swap
+    acceptance needs the rung ratio - 1 to scale like 1/sqrt(N) (energy
+    distributions must overlap). 16 rungs over [0.2, 3] gave a 4% swap
+    rate at N = 6400; 96 rungs over [0.3, 2.5] gave 60%. Tune `num` until
+    `sample`'s swap_rate lands in the 20-60% band.
+    """
     return jnp.geomspace(t_min, t_max, num)
