@@ -48,19 +48,24 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0):
 
 
 def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
-              global_moves=True, chunk=8):
+              global_moves=True, chunk=8, segment=25_000):
     """One PIQMC point following the full MST protocol
     (examples/santoro80.py:269-296): pre-anneal, replicate, Gamma-anneal,
     best-slice readout. Returns per-chain best-slice energies.
 
     Chains run in chunks of `chunk` so the (chunk, P, N) Trotter state
     stays VMEM-resident (throughput collapses ~4x once it spills to HBM).
+    Schedules longer than `segment` steps run as several dispatches with
+    per-segment keys — long single dispatches can trip remote-TPU
+    watchdogs (ARCHITECTURE.md §8), and segment boundaries also bound the
+    compile count for very long anneals.
     """
     temp = pt / slices
     fieldstart = 3.0 if pt == 1 else 2.5
     pre = schedules.pre_anneal_schedule(pre_temp, pt)
-    a = schedules.transverse_field(fieldstart, 1e-8, int(tau))
-    b = jnp.ones_like(a)
+    a_full = np.asarray(
+        schedules.transverse_field(fieldstart, 1e-8, int(tau))
+    )
     outs = []
     done = 0
     while done < reps:
@@ -70,8 +75,12 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
         s0 = sa.random_state(k1, problem.nspins, batch=(n,))
         s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
         confs = qmc.replicate(s0, slices)
-        confs = qmc.anneal(problem, a, b, temp, confs, k3,
-                           global_moves=global_moves)
+        for seg_i in range(0, len(a_full), segment):
+            a = jnp.asarray(a_full[seg_i:seg_i + segment])
+            confs = qmc.anneal(
+                problem, a, jnp.ones_like(a), temp, confs,
+                jax.random.fold_in(k3, seg_i), global_moves=global_moves,
+            )
         outs.append(np.asarray(qmc.best_slice_energy(problem, confs)))
         done += n
     return np.concatenate(outs)
