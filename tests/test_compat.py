@@ -128,3 +128,23 @@ class TestSVMC:
         svec = rng.uniform(0, np.pi, size=16)
         compat.NoisySVMCTF(A, np.ones_like(A), 1, 0.1, svec, nbs4d, seed=7)
         assert svec.min() >= 0 and svec.max() <= np.pi + 1e-6
+
+
+class TestDeterminism:
+    def test_same_seed_reproduces(self, small, rng):
+        nbs, _ = small
+        sched = np.linspace(2.0, 0.1, 40)
+        base = rng.choice([-1, 1], size=16).astype(np.float64)
+        a = base.copy(); compat.Anneal(sched, 1, a, nbs, seed=11)
+        b = base.copy(); compat.Anneal(sched, 1, b, nbs, seed=11)
+        c = base.copy(); compat.Anneal(sched, 1, c, nbs, seed=12)
+        assert np.array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_rng_object_accepted(self, small, rng):
+        nbs, _ = small
+        sched = np.linspace(2.0, 0.1, 20)
+        svec = rng.choice([-1, 1], size=16).astype(np.float64)
+        compat.Anneal(sched, 1, svec, nbs, seed=np.random.RandomState(3))
+        compat.Anneal(sched, 1, svec, nbs, seed=np.random.default_rng(3))
+        assert set(np.unique(svec)) <= {-1.0, 1.0}
