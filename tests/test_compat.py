@@ -133,7 +133,8 @@ class TestSVMC:
 class TestDeterminism:
     def test_same_seed_reproduces(self, small, rng):
         nbs, _ = small
-        sched = np.linspace(2.0, 0.1, 40)
+        # hot fixed-T schedule: different streams cannot coincide
+        sched = np.full(30, 2.5)
         base = rng.choice([-1, 1], size=16).astype(np.float64)
         a = base.copy(); compat.Anneal(sched, 1, a, nbs, seed=11)
         b = base.copy(); compat.Anneal(sched, 1, b, nbs, seed=11)
