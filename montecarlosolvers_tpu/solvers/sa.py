@@ -48,6 +48,16 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
     Returns:
       spins (same shape), or (spins, energies) when collect_energy.
     """
+    from montecarlosolvers_tpu.models.dense import DenseProblem
+
+    if isinstance(problem, DenseProblem):
+        # fully-connected problems route to the MXU blocked-sequential
+        # engine (coloring degenerates on complete graphs)
+        from montecarlosolvers_tpu.ops.dense_sweep import dense_anneal
+
+        return dense_anneal(problem, sched, spins, key, mcsteps=mcsteps,
+                            collect_energy=collect_energy)
+
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
     spins, es = sweep_scan(
         problem, spins, key, temps, collect_energy=collect_energy

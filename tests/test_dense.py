@@ -1,0 +1,133 @@
+"""Dense (MXU) engine: exact sequential-Metropolis semantics via matmul
+fields + rank-1 delayed updates. Gibbs exactness, oracle equivalence,
+brute-forced ground states, block-boundary handling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlosolvers_tpu.models.dense import DenseProblem
+from montecarlosolvers_tpu.models.ising import IsingProblem
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.ops.dense_sweep import dense_metropolis_sweep, dense_anneal
+from montecarlosolvers_tpu.solvers import sa
+from montecarlosolvers_tpu import schedules
+
+
+def _dense_sk(n, rng):
+    J = rng.normal(size=(n, n)) / np.sqrt(n)
+    return DenseProblem.from_couplings(J)
+
+
+class TestProblem:
+    def test_energy_matches_generic(self, rng):
+        n = 10
+        Jraw = rng.normal(size=(n, n))
+        dp = DenseProblem.from_couplings(Jraw)
+        # equivalent generic problem: symmetrized pairs + diagonal fields
+        Js = Jraw + Jraw.T
+        rows, cols, vals = [], [], []
+        for i in range(n):
+            rows.append(i); cols.append(i); vals.append(Jraw[i, i])
+            for j in range(i + 1, n):
+                rows.append(i); cols.append(j); vals.append(Js[i, j])
+        gen = IsingProblem.from_edges(n, rows, cols, vals, maxnb=n)
+        for _ in range(5):
+            s = jnp.asarray(rng.choice([-1.0, 1.0], size=n), jnp.float32)
+            assert np.isclose(float(dp.energy(s)), float(gen.energy(s)),
+                              rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(
+                np.asarray(dp.local_fields(s)),
+                np.asarray(gen.local_fields(s)), rtol=1e-4, atol=1e-4,
+            )
+
+    def test_delta_e_matches_flip(self, rng):
+        dp = _dense_sk(8, rng)
+        s = jnp.asarray(rng.choice([-1.0, 1.0], size=8), jnp.float32)
+        de = np.asarray(dp.delta_e(s))
+        for i in range(8):
+            s2 = s.at[i].multiply(-1.0)
+            exact = float(dp.energy(s2) - dp.energy(s))
+            assert np.isclose(de[i], exact, rtol=1e-4, atol=1e-4)
+
+
+class TestSweep:
+    def test_gibbs_distribution(self, rng):
+        """Systematic-scan blocked sweep must sample the exact Boltzmann
+        distribution (3 fully-coupled spins + fields, 8 states)."""
+        J = np.array([
+            [0.3, 1.0, 0.5],
+            [0.0, -0.2, -0.7],
+            [0.0, 0.0, 0.4],
+        ])
+        dp = DenseProblem.from_couplings(J)
+        temp = 1.5
+        states = (((np.arange(8)[:, None] >> np.arange(3)) & 1) * 2 - 1).astype(
+            np.float32
+        )
+        es = np.asarray(dp.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 1500, 100
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, 3, batch=(chains,))
+
+        @jax.jit
+        def run(s, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(s, k):
+                s = dense_metropolis_sweep(dp, s, k, temp, block=2)
+                bits = (s > 0).astype(jnp.int32)
+                idx = bits[:, 0] + 2 * bits[:, 1] + 4 * bits[:, 2]
+                return s, idx
+
+            _, idxs = jax.lax.scan(body, s, keys)
+            return idxs
+
+        idxs = np.asarray(run(s0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=8)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
+
+    def test_block_boundaries(self, rng):
+        """N not divisible by block: padded spins must stay inert."""
+        dp = _dense_sk(10, rng)
+        key = jax.random.key(1)
+        s0 = sa.random_state(key, 10, batch=(4,))
+        for block in (3, 4, 10, 128):
+            out = dense_metropolis_sweep(dp, s0, key, 1.0, block=block)
+            assert out.shape == (4, 10)
+            assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+    def test_deterministic(self, rng):
+        dp = _dense_sk(12, rng)
+        key = jax.random.key(2)
+        s0 = sa.random_state(key, 12, batch=(3,))
+        sched = schedules.linear(2.0, 0.1, 30)
+        a = dense_anneal(dp, sched, s0, key)
+        b = dense_anneal(dp, sched, s0, key)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAnneal:
+    def test_finds_ground_state(self, rng):
+        dp = _dense_sk(12, rng)
+        states = (((np.arange(2 ** 12)[:, None] >> np.arange(12)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        e_gs = float(np.asarray(dp.energy(jnp.asarray(states))).min())
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, 12, batch=(16,))
+        out = sa.anneal(dp, schedules.linear(2.0, 0.0, 300), s0, key)
+        es = np.asarray(dp.energy(out))
+        assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
+
+    def test_solve_api_with_dense(self, rng):
+        from montecarlosolvers_tpu.solvers.api import solve
+
+        dp = _dense_sk(10, rng)
+        res = solve(dp, method="sa", num_reads=8, sweeps=150, seed=0)
+        assert len(res) == 8
+        assert set(np.unique(res.samples)) <= {-1.0, 1.0}
