@@ -69,10 +69,23 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
 
     M = temps.shape[0]
 
+    from montecarlosolvers_tpu.models.dense import DenseProblem
+
+    if isinstance(problem, DenseProblem):
+        from montecarlosolvers_tpu.ops.dense_sweep import dense_metropolis_sweep
+
+        def _sweep(states, k):
+            # rungs are the chain axis; per-rung temps broadcast through
+            # the per-chain acceptance of the dense engine
+            return dense_metropolis_sweep(problem, states, k, temps)
+    else:
+        def _sweep(states, k):
+            return colored_metropolis_sweep(problem, states, k, temps[:, None])
+
     def body(carry, k):
         states, nacc, npairs, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
-        states = colored_metropolis_sweep(problem, states, k1, temps[:, None])
+        states = _sweep(states, k1)
         i = natt  # sweep counter doubles as swap parity clock
         do_swap = (i % swap_every) == 0
         parity = (i // swap_every) % 2

@@ -131,3 +131,32 @@ class TestAnneal:
         res = solve(dp, method="sa", num_reads=8, sweeps=150, seed=0)
         assert len(res) == 8
         assert set(np.unique(res.samples)) <= {-1.0, 1.0}
+
+
+class TestDensePT:
+    def test_pt_marginals_match_gibbs(self, rng):
+        """Parallel tempering over a dense problem: per-rung mean energies
+        must match exact Gibbs averages."""
+        from montecarlosolvers_tpu.solvers import pt
+
+        J = np.array([
+            [0.0, 0.9, -0.4],
+            [0.0, 0.0, 0.6],
+            [0.0, 0.0, 0.0],
+        ])
+        dp = DenseProblem.from_couplings(J + np.diag([0.3, -0.2, 0.1]))
+        temps = jnp.asarray([0.8, 1.6, 3.2])
+        states_all = (((np.arange(8)[:, None] >> np.arange(3)) & 1) * 2 - 1
+                      ).astype(np.float32)
+        es_all = np.asarray(dp.energy(jnp.asarray(states_all)))
+
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, 3, batch=(3,))
+        out, rate, es = pt.sample(dp, temps, s0, key, 20000, swap_every=2,
+                                  collect_energy=True)
+        es = np.asarray(es)[2000:]
+        assert float(rate) > 0.05
+        for k, t in enumerate(np.asarray(temps)):
+            w = np.exp(-es_all / t)
+            exact = float((w * es_all).sum() / w.sum())
+            assert abs(es[:, k].mean() - exact) < 0.05, (k, t)
