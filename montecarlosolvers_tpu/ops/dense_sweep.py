@@ -16,6 +16,11 @@ semantics but restructures the work for the MXU:
 Per sweep: N/B matmuls (O(C N^2) MACs on the MXU) + N cheap vector
 micro-steps — versus O(N) full-field recomputes for the degenerate colored
 sweep. Exactness is validated by the dense Gibbs-histogram test.
+
+Throughput scaling (v5e, SK N=1024, B=128): the chain batch C is the free
+lever — the N sequential micro-steps amortize over chains, so rates climb
+from 1.0e9 att/s at C=1024 to 2.1e9 at C=4096. B=128 (one MXU tile) beats
+larger blocks; every attempt touches all N couplings.
 """
 
 from __future__ import annotations
