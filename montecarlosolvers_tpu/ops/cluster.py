@@ -30,6 +30,9 @@ Known deviations from the reference, by design (SURVEY.md §7 "hard parts"):
     qmc.pyx:612-614) is replaced by the correct Metropolis rule that its
     sibling WC3 uses (qmc.pyx:1617-1621); WC2's bath-distance indexing slip
     (bslice vs islice, qmc.pyx:1368-1371) is likewise not replicated.
+  * The reference's WCL never flips the cluster seed (the seed flip is
+    commented out at qmc.pyx:701 while joined members flip on entry); here
+    the full component including the seed flips — standard Wolff.
 """
 
 from __future__ import annotations
