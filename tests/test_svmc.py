@@ -109,3 +109,56 @@ class TestAnneal:
             o = np.asarray(out)
             assert o.shape == th.shape
             assert o.min() >= 0.0 and o.max() <= np.pi + 1e-6
+
+
+class TestEquilibrium:
+    def test_svmc_samples_rotor_gibbs(self, rng):
+        """The SVMC sweep must sample the continuous Gibbs density on
+        [0, pi]^2 (flat base measure — proposals are uniform in theta).
+        Oracle: 2-D quadrature of the two-rotor Boltzmann weight."""
+        from montecarlosolvers_tpu.models.ising import IsingProblem
+
+        J, h0, h1, A, B, temp = 0.8, 0.3, -0.4, 0.6, 1.0, 0.7
+        prob = IsingProblem.from_edges(
+            2, [0, 0, 1], [1, 0, 1], [J, h0, h1], maxnb=2
+        )
+
+        def energy(t0, t1):
+            return (
+                B * (J * np.cos(t0) * np.cos(t1)
+                     + h0 * np.cos(t0) + h1 * np.cos(t1))
+                - A * (np.sin(t0) + np.sin(t1))
+            )
+
+        g = np.linspace(0, np.pi, 301)
+        T0, T1 = np.meshgrid(g, g, indexing="ij")
+        E = energy(T0, T1)
+        W = np.exp((E.min() - E) / temp)
+        e_exact = float((W * E).sum() / W.sum())
+        c_exact = float((W * np.cos(T0)).sum() / W.sum())
+
+        chains, nsweeps, burn = 256, 600, 150
+        key = jax.random.key(0)
+        th = svmc.random_state(key, 2, batch=(chains,))
+
+        @jax.jit
+        def run(th, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(th, k):
+                th = svmc_ops.svmc_sweep(prob, th, k, temp, A, B)
+                e = (
+                    B * (J * jnp.cos(th[:, 0]) * jnp.cos(th[:, 1])
+                         + h0 * jnp.cos(th[:, 0]) + h1 * jnp.cos(th[:, 1]))
+                    - A * (jnp.sin(th[:, 0]) + jnp.sin(th[:, 1]))
+                )
+                return th, (e, jnp.cos(th[:, 0]))
+
+            _, (es, cs) = jax.lax.scan(body, th, keys)
+            return es, cs
+
+        es, cs = run(th, key)
+        e_emp = float(np.asarray(es)[burn:].mean())
+        c_emp = float(np.asarray(cs)[burn:].mean())
+        assert abs(e_emp - e_exact) < 0.03, (e_emp, e_exact)
+        assert abs(c_emp - c_exact) < 0.03, (c_emp, c_exact)
