@@ -46,7 +46,7 @@ def _piqmc_rate(problem):
     from montecarlosolvers_tpu.solvers import sa, qmc
     from montecarlosolvers_tpu import schedules
 
-    P, chains, tau = 40, 8, 400
+    P, chains, tau = 40, 8, 1000
     key = jax.random.key(2)
     confs = qmc.replicate(
         sa.random_state(key, problem.nspins, batch=(chains,)), P
