@@ -57,9 +57,21 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
-        import bench  # repo-root bench when run from a checkout
+        # repo-root bench.py: resolve relative to the package so the
+        # subcommand works from any cwd in a checkout
+        import importlib.util
+        import pathlib
 
-        bench.main()
+        path = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+        if not path.exists():
+            print("bench.py not found (installed package without the "
+                  "benchmark harness); run from a repo checkout",
+                  file=sys.stderr)
+            return 2
+        spec = importlib.util.spec_from_file_location("mcs_bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
         return 0
 
     from montecarlosolvers_tpu.solvers.api import solve

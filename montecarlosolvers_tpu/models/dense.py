@@ -36,13 +36,24 @@ class DenseProblem:
 
     @classmethod
     def from_couplings(cls, J, h=None):
-        """J may be dense with any storage convention: it is symmetrized as
-        (J + J^T) with the diagonal moved into h."""
+        """Build from a dense matrix, either storage convention:
+
+        * already-symmetric J (both halves stored, pair weight J_ij) is
+          used as-is;
+        * otherwise (upper-triangular or arbitrary full storage) each
+          stored entry counts once: J_sym = J + J^T.
+
+        The diagonal always moves into h.
+        """
         J = np.asarray(J, dtype=np.float64)
         n = J.shape[0]
         d = np.diag(J).copy()
-        Js = J + J.T
-        np.fill_diagonal(Js, 0.0)
+        Joff = J.copy()
+        np.fill_diagonal(Joff, 0.0)
+        if np.allclose(Joff, Joff.T):
+            Js = Joff
+        else:
+            Js = Joff + Joff.T
         hv = d + (np.zeros(n) if h is None else np.asarray(h, np.float64))
         return cls(
             J=jnp.asarray(Js, jnp.float32),
@@ -52,22 +63,20 @@ class DenseProblem:
 
     @classmethod
     def from_edges(cls, nspins, rows, cols, vals):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        vals = np.asarray(vals, dtype=np.float64)
         J = np.zeros((nspins, nspins))
         h = np.zeros(nspins)
-        for a, b, v in zip(np.asarray(rows), np.asarray(cols), np.asarray(vals)):
-            if a == b:
-                h[a] += v
-            else:
-                J[a, b] += v
-                J[b, a] += v
-        Jm = np.zeros_like(J)
-        prob = cls(
+        off = rows != cols
+        np.add.at(J, (rows[off], cols[off]), vals[off])
+        np.add.at(J, (cols[off], rows[off]), vals[off])
+        np.add.at(h, rows[~off], vals[~off])
+        return cls(
             J=jnp.asarray(J, jnp.float32),
             h=jnp.asarray(h, jnp.float32),
             nspins=int(nspins),
         )
-        del Jm
-        return prob
 
     # ------------------------------------------------------------ interface
     def local_fields(self, s):

@@ -161,15 +161,26 @@ def save_triplets(path, rows, cols, vals, one_indexed=True):
             f.write(f"{int(a) + off} {int(b) + off} {v:.10g}\n")
 
 
-def sk_model(nspins, rng=None):
+def sk_model(nspins, rng=None, dense=True):
     """Sherrington-Kirkpatrick fully-connected spin glass: J_ij ~
-    N(0, 1/N) for all pairs."""
+    N(0, 1/N) for all pairs.
+
+    dense=True (default) returns a DenseProblem — the MXU engine built for
+    exactly this class (the padded-gather IsingProblem needs maxnb = N-1
+    and N color phases, O(N^3) work per sweep). dense=False returns the
+    generic IsingProblem for oracle/interop use at small N.
+    """
     rng = np.random.default_rng(rng)
     iu = np.triu_indices(nspins, k=1)
     vals = rng.normal(scale=1.0 / np.sqrt(nspins), size=iu[0].shape)
-    problem = IsingProblem.from_edges(
-        nspins, iu[0], iu[1], vals, maxnb=nspins - 1
-    )
+    if dense:
+        from montecarlosolvers_tpu.models.dense import DenseProblem
+
+        problem = DenseProblem.from_edges(nspins, iu[0], iu[1], vals)
+    else:
+        problem = IsingProblem.from_edges(
+            nspins, iu[0], iu[1], vals, maxnb=nspins - 1
+        )
     return problem, (iu[0], iu[1], vals)
 
 

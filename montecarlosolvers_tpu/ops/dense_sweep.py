@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+
 
 def dense_metropolis_sweep(dp, s, key, temp, block=128):
     """One systematic-scan sequential Metropolis sweep.
@@ -67,7 +69,7 @@ def dense_metropolis_sweep(dp, s, key, temp, block=128):
             si = lax.dynamic_slice(s, (0, i), (C, 1))[:, 0]
             fi = fb[:, j]
             de = -2.0 * si * fi
-            accept = (de <= 0.0) | (ub[:, j] < jnp.exp(-de / temp))
+            accept = metropolis_accept(de, temp, ub[:, j])
             s_new = jnp.where(accept, -si, si)
             s = lax.dynamic_update_slice(s, s_new[:, None], (0, i))
             # delayed update of remaining in-block fields: row i of Jb
@@ -91,9 +93,10 @@ def dense_anneal(dp, sched, s, key, mcsteps=1, block=128,
     """
     from montecarlosolvers_tpu import schedules as sched_mod
 
-    squeeze = s.ndim == 1
-    if squeeze:
-        s = s[None]
+    # accept any (..., N) batch shape like the sparse path: flatten the
+    # leading dims into the chain axis and restore at the end
+    orig_shape = s.shape
+    s = s.reshape(-1, orig_shape[-1]) if s.ndim != 2 else s
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
     keys = jax.random.split(key, temps.shape[0])
 
@@ -103,9 +106,8 @@ def dense_anneal(dp, sched, s, key, mcsteps=1, block=128,
         return s, (dp.energy(s) if collect_energy else None)
 
     s, es = lax.scan(body, s, (temps, keys))
-    if squeeze:
-        s = s[0]
-        es = es[:, 0] if collect_energy else es
+    s = s.reshape(orig_shape)
     if collect_energy:
+        es = es.reshape((es.shape[0],) + orig_shape[:-1])
         return s, es
     return s

@@ -41,11 +41,22 @@ class SampleSet:
         return self.samples.shape[0]
 
 
-def _finalize(problem, states, info):
+def _finalize(problem, states, info, energies=None):
     states = np.asarray(states)
-    energies = np.asarray(problem.energy(jnp.asarray(states)))
+    if energies is None:
+        energies = np.asarray(problem.energy(jnp.asarray(states)))
+    else:
+        energies = np.asarray(energies)
     order = np.argsort(energies)
     return SampleSet(states[order], energies[order], info)
+
+
+_METHOD_KW = {
+    "sa": {"t_start", "t_end"},
+    "piqmc": {"slices", "pt", "field_start", "pre_anneal"},
+    "svmc": {"field_start", "temp"},
+    "pt": {"t_min", "t_max", "ladder"},
+}
 
 
 def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
@@ -61,15 +72,25 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 (num_reads independent ladders are run; the coldest rung
                 of each is returned).
     """
+    if method not in _METHOD_KW:
+        raise ValueError(f"unknown method: {method}")
+    unknown = set(kw) - _METHOD_KW[method]
+    if unknown:
+        raise TypeError(
+            f"solve(method={method!r}) got unexpected options {sorted(unknown)}; "
+            f"accepted: {sorted(_METHOD_KW[method])}"
+        )
+
     key = jax.random.key(seed)
     n = problem.nspins
     info = dict(method=method, num_reads=num_reads, sweeps=sweeps, seed=seed)
 
     if method == "sa":
+        k_init, k_run = jax.random.split(key)
         sched = schedules.linear(kw.get("t_start", 3.0), kw.get("t_end", 0.0),
                                  sweeps)
-        s0 = sa_mod.random_state(key, n, batch=(num_reads,))
-        out = sa_mod.anneal(problem, sched, s0, key)
+        s0 = sa_mod.random_state(k_init, n, batch=(num_reads,))
+        out = sa_mod.anneal(problem, sched, s0, k_run)
         return _finalize(problem, out, info)
 
     if method == "piqmc":
@@ -85,29 +106,30 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                                        sweeps)
         confs = qmc_mod.anneal(problem, a, jnp.ones_like(a), pt / slices,
                                confs, k3, global_moves=True)
-        # best slice per read
+        # best slice per read; energies already known — skip re-evaluation
         es = np.asarray(problem.energy(confs))  # (reads, P)
         best_k = es.argmin(axis=-1)
         states = np.asarray(confs)[np.arange(num_reads), best_k]
-        return _finalize(problem, states, info)
+        return _finalize(problem, states, info,
+                         energies=es[np.arange(num_reads), best_k])
 
     if method == "svmc":
+        k_init, k_run = jax.random.split(key)
         a = schedules.linear(kw.get("field_start", 3.0), 1e-8, sweeps)
-        th = svmc_mod.random_state(key, n, batch=(num_reads,))
+        th = svmc_mod.random_state(k_init, n, batch=(num_reads,))
         out = svmc_mod.anneal(problem, a, jnp.ones_like(a),
-                              kw.get("temp", 0.05), th, key, tf=True)
+                              kw.get("temp", 0.05), th, k_run, tf=True)
         return _finalize(problem, svmc_mod.z_projection(out), info)
 
-    if method == "pt":
-        ladder = kw.get("ladder", 16)
-        temps = pt_mod.geometric_ladder(kw.get("t_min", 0.1),
-                                        kw.get("t_max", 3.0), ladder)
-        keys = jax.random.split(key, num_reads)
-        states = sa_mod.random_state(key, n, batch=(num_reads, ladder))
-        outs, rates = jax.vmap(
-            lambda s, k: pt_mod.sample(problem, temps, s, k, sweeps)
-        )(states, keys)
-        info["mean_swap_rate"] = float(np.asarray(rates).mean())
-        return _finalize(problem, np.asarray(outs)[:, 0], info)
-
-    raise ValueError(f"unknown method: {method}")
+    # method == "pt"
+    ladder = kw.get("ladder", 16)
+    temps = pt_mod.geometric_ladder(kw.get("t_min", 0.1),
+                                    kw.get("t_max", 3.0), ladder)
+    k_init, k_run = jax.random.split(key)
+    keys = jax.random.split(k_run, num_reads)
+    states = sa_mod.random_state(k_init, n, batch=(num_reads, ladder))
+    outs, rates = jax.vmap(
+        lambda s, k: pt_mod.sample(problem, temps, s, k, sweeps)
+    )(states, keys)
+    info["mean_swap_rate"] = float(np.asarray(rates).mean())
+    return _finalize(problem, np.asarray(outs)[:, 0], info)

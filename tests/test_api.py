@@ -42,11 +42,22 @@ class TestSolve:
 
 class TestGenerators:
     def test_sk_model(self):
-        prob, (r, c, v) = instances.sk_model(12, rng=0)
-        assert prob.nspins == 12
-        assert prob.maxnb == 11
-        # fully connected: each spin has 11 neighbors
+        # default: dense MXU problem
+        dp, (r, c, v) = instances.sk_model(12, rng=0)
+        from montecarlosolvers_tpu.models.dense import DenseProblem
+
+        assert isinstance(dp, DenseProblem)
+        assert dp.nspins == 12
         assert len(r) == 12 * 11 // 2
+        # sparse fallback for oracle/interop use
+        prob, _ = instances.sk_model(12, rng=0, dense=False)
+        assert prob.maxnb == 11
+        # both agree on energies
+        import jax.numpy as jnp
+
+        s = jnp.asarray(np.random.default_rng(1).choice([-1.0, 1.0], size=12))
+        assert np.isclose(float(dp.energy(s)), float(prob.energy(s)),
+                          rtol=1e-4, atol=1e-4)
 
     def test_chimera(self):
         prob, (r, c, v) = instances.chimera_graph(2, 2, t=4, rng=0)

@@ -160,3 +160,37 @@ class TestDensePT:
             w = np.exp(-es_all / t)
             exact = float((w * es_all).sum() / w.sum())
             assert abs(es[:, k].mean() - exact) < 0.05, (k, t)
+
+
+class TestReviewFixes:
+    def test_multi_leading_dims(self, rng):
+        """sa.anneal on a DenseProblem must accept (..., N) batches like
+        the sparse path."""
+        dp = _dense_sk(8, rng)
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, 8, batch=(2, 3))
+        out = sa.anneal(dp, schedules.linear(2.0, 0.1, 20), s0, key)
+        assert out.shape == (2, 3, 8)
+        out2, es = sa.anneal(dp, schedules.linear(2.0, 0.1, 20), s0, key,
+                             collect_energy=True)
+        assert es.shape == (20, 2, 3)
+
+    def test_symmetric_input_not_doubled(self, rng):
+        """from_couplings must not double already-symmetric matrices."""
+        J = np.array([[0.0, 1.0], [1.0, 0.0]])
+        dp = DenseProblem.from_couplings(J)
+        s = jnp.asarray([1.0, 1.0])
+        assert np.isclose(float(dp.energy(s)), 1.0)
+        # round-trip through the internal convention is idempotent
+        dp2 = DenseProblem.from_couplings(np.asarray(dp.J))
+        assert np.isclose(float(dp2.energy(s)), float(dp.energy(s)))
+        # upper-triangular storage still counts each entry once
+        dp3 = DenseProblem.from_couplings(np.triu(J))
+        assert np.isclose(float(dp3.energy(s)), 1.0)
+
+    def test_solve_rejects_unknown_kw(self, rng):
+        from montecarlosolvers_tpu.solvers.api import solve
+
+        dp = _dense_sk(6, rng)
+        with pytest.raises(TypeError):
+            solve(dp, method="sa", num_reads=2, sweeps=10, t_stop=0.5)
