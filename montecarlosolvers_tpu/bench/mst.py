@@ -153,6 +153,36 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
     return results
 
 
+def summarize_dir(outdir, nspins, e_gs, exps=DEFAULT_EXPS):
+    """Rebuild {name: (total_sweeps, eps)} purely from the cached point
+    files in `outdir` — no compute. Tolerates ragged arms (points missing
+    for some configs, e.g. after an aborted run)."""
+    import glob
+    import re
+
+    results = {}
+    arms = [("CA", 1)] + [(f"PT={pt}_P={p}", p) for pt, p in exps]
+    for name, mult in arms:
+        xs, ys = [], []
+        for path in glob.glob(os.path.join(outdir, f"{name}_tau*.npz")):
+            m = re.search(r"_tau(\d+)\.npz$", path)
+            if not m:
+                continue
+            d = np.load(path)
+            xs.append(int(m.group(1)) * mult)
+            ys.append(float(d["eps"]))
+        if xs:
+            order = np.argsort(xs)
+            results[name] = (np.asarray(xs)[order], np.asarray(ys)[order])
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(
+            {k: {"tau": v[0].tolist(), "eps": v[1].tolist()}
+             for k, v in results.items()},
+            f, indent=2,
+        )
+    return results
+
+
 def plot_results(results, path=None):
     """Log-log eps_res vs tau, one curve per arm (the reference's
     plot_sontoro, examples/santoro80.py:304-323). Returns the figure."""
