@@ -17,10 +17,11 @@ Per sweep: N/B matmuls (O(C N^2) MACs on the MXU) + N cheap vector
 micro-steps — versus O(N) full-field recomputes for the degenerate colored
 sweep. Exactness is validated by the dense Gibbs-histogram test.
 
-Throughput scaling (v5e, SK N=1024, B=128): the chain batch C is the free
-lever — the N sequential micro-steps amortize over chains, so rates climb
-from 1.0e9 att/s at C=1024 to 2.1e9 at C=4096. B=128 (one MXU tile) beats
-larger blocks; every attempt touches all N couplings.
+Throughput scaling (v5e, SK, B=128): the chain batch C is the free lever —
+the N sequential micro-steps amortize over chains, so rates climb from
+1.0e9 att/s at (N=1024, C=1024) to 2.1e9 at C=4096; at N=8192, C=1024 the
+engine sustains 9.1e8 att/s = 7.5e12 effective coupling-MACs/s. B=128
+(one MXU tile) beats larger blocks; every attempt touches all N couplings.
 """
 
 from __future__ import annotations
