@@ -147,3 +147,20 @@ class TestConversions:
         spins = bits2spins(bits)
         assert list(np.asarray(spins)) == [1, -1, -1, 1]
         assert list(np.asarray(spins2bits(spins))) == [0, 1, 1, 0]
+
+
+class TestNeighborCache:
+    def test_savepath_roundtrip(self, rng, tmp_path):
+        """tools.pyx:94-95 analog: neighbor tables cache to .npy."""
+        from montecarlosolvers_tpu.models.ising import generate_neighbors
+        from montecarlosolvers_tpu.utils.checkpoint import load_neighbor_table
+
+        n = 6
+        J = np.zeros((n, n))
+        J[0, 1] = 1.5
+        J[2, 3] = -0.5
+        J[4, 4] = 0.25
+        path = tmp_path / "nbs.npy"
+        nbs = generate_neighbors(n, J, maxnb=2, savepath=str(path))
+        cached = load_neighbor_table(str(path))
+        assert np.array_equal(np.asarray(nbs), cached)
