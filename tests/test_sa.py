@@ -143,3 +143,22 @@ class TestNoisyAnneal:
         a = sa.anneal_noisy(prob, sched, base_J, h_sched, s0, key)
         b = sa.anneal_noisy(prob, sched, noisy_J, h_sched, s0, key)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSweepScan:
+    def test_b_coeffs_branch(self, rng):
+        """sweep_scan's per-step b_coeffs path (PIQMC-style longitudinal
+        scaling through the shared engine)."""
+        from montecarlosolvers_tpu.ops.metropolis import sweep_scan
+
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        key = jax.random.key(0)
+        s0 = sa.random_state(key, 9, batch=(2,))
+        temps = jnp.full((10,), 1.0)
+        # b = -2 everywhere == the classical default: results must agree
+        a, _ = sweep_scan(prob, s0, key, temps)
+        b, _ = sweep_scan(prob, s0, key, temps, b_coeffs=jnp.full((10,), -2.0))
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        c, es = sweep_scan(prob, s0, key, temps,
+                           b_coeffs=jnp.full((10,), -1.0), collect_energy=True)
+        assert es.shape == (10, 2)
