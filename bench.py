@@ -70,7 +70,7 @@ def main():
     problem, e_gs = _problem()
     nspins = problem.nspins
 
-    tau, chains = 8000, 512
+    tau, chains = 8000, 640
     key = jax.random.key(0)
     sched = schedules.linear(3.0, 0.0, tau)
     s0 = sa.random_state(key, nspins, batch=(chains,))

@@ -50,7 +50,10 @@ def suggest_chains(nspins, slices=1, vmem_budget_bytes=12 << 20,
     VMEM to HBM (measured on v5e: SA 512 chains x 80x80 f32 ~ 13MB is the
     sweet spot; 1024 drops ~3x — see ARCHITECTURE.md §4). Budget defaults
     to 12MB of the ~16MB VMEM, leaving room for coupling planes and
-    temporaries.
+    temporaries. Measured exception: 640 chains x 80x80 f32 (16.4MB,
+    batch = 5*128 sublane-perfect tiles) outruns every smaller batch
+    (3.8e10 att/s) — when tuning, sweep around the boundary rather than
+    trusting the estimate alone.
     """
     per_chain = nspins * slices * dtype_bytes
     n = max(1, int(vmem_budget_bytes // per_chain))
