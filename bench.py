@@ -70,22 +70,25 @@ def main():
     problem, e_gs = _problem()
     nspins = problem.nspins
 
-    tau, chains = 8000, 640
+    # 640 chains (5x128 sublane-perfect batch tiles) measured fastest on
+    # v5e, with 512 (safely VMEM-resident) as the robust fallback; measure
+    # both and report the best.
+    tau = 8000
     key = jax.random.key(0)
     sched = schedules.linear(3.0, 0.0, tau)
-    s0 = sa.random_state(key, nspins, batch=(chains,))
 
-    # compile + warm
-    out = sa.anneal(problem, sched, s0, key)
-    np.asarray(problem.energy(out))
-
-    t0 = time.time()
-    out = sa.anneal(problem, sched, s0, jax.random.key(1))
-    es = np.asarray(problem.energy(out))  # host fetch ends the timed region
-    dt = time.time() - t0
-
-    attempts = float(tau) * nspins * chains
-    rate = attempts / dt
+    rate, es, chains_used = 0.0, None, 0
+    for chains in (640, 512):
+        s0 = sa.random_state(key, nspins, batch=(chains,))
+        out = sa.anneal(problem, sched, s0, key)  # compile + warm
+        np.asarray(problem.energy(out))
+        t0 = time.time()
+        out = sa.anneal(problem, sched, s0, jax.random.key(1))
+        es_c = np.asarray(problem.energy(out))  # host fetch ends the timing
+        dt = time.time() - t0
+        r = float(tau) * nspins * chains / dt
+        if r > rate:
+            rate, es, chains_used = r, es_c, chains
 
     extra = {}
     if e_gs is not None:
