@@ -54,11 +54,19 @@ class LatticeProblem:
     h_plane: jax.Array
     color_masks: jax.Array
     L: int = dataclasses.field(metadata=dict(static=True))
+    # True iff any horizontal wrap coupling (j_right[:, -1]) is nonzero.
+    # The split-checkerboard engine (ops/split.py) needs two extra
+    # roll-correction slots exactly when this is set; vertical wrap and
+    # open boundaries are exact in its base 5-slot stencil.
+    col_wrap: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
     num_colors = 2
 
     @classmethod
     def from_planes(cls, j_right, j_down, h=None):
+        col_wrap = bool(np.any(np.asarray(j_right)[:, -1] != 0.0))
         j_right = jnp.asarray(j_right, dtype=jnp.float32)
         L = j_right.shape[0]
         if h is None:
@@ -69,6 +77,7 @@ class LatticeProblem:
             h_plane=jnp.asarray(h, dtype=jnp.float32),
             color_masks=jnp.asarray(checkerboard_masks(L)),
             L=int(L),
+            col_wrap=col_wrap,
         )
 
     @classmethod

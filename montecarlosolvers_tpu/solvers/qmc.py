@@ -74,11 +74,25 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     Returns:
       confs, or (confs, energies) when collect_energy.
     """
+    from montecarlosolvers_tpu.ops import split as split_ops
+
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
-    keys = jax.random.split(key, a.shape[0])
 
     slices = confs.shape[-2]
+    if lookuptable is None and split_ops.supports_split(problem, slices):
+        # even-L lattice, even P: split-checkerboard engine (ops/split.py)
+        # — maskless phase-set updates, half-volume global line moves,
+        # zero lane padding at benchmark shape
+        confs, es = split_ops.qmc_anneal_split(
+            problem, a, b, temp, confs, key,
+            global_moves=global_moves, collect_energy=collect_energy,
+        )
+        if collect_energy:
+            return confs, es
+        return confs
+
+    keys = jax.random.split(key, a.shape[0])
     bath_mat = (
         piqmc_ops.bath_matrix(lookuptable, slices) if lookuptable is not None else None
     )

@@ -49,6 +49,7 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
       spins (same shape), or (spins, energies) when collect_energy.
     """
     from montecarlosolvers_tpu.models.dense import DenseProblem
+    from montecarlosolvers_tpu.ops import split as split_ops
 
     if isinstance(problem, DenseProblem):
         # fully-connected problems route to the MXU blocked-sequential
@@ -59,9 +60,16 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
                             collect_energy=collect_energy)
 
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
-    spins, es = sweep_scan(
-        problem, spins, key, temps, collect_energy=collect_energy
-    )
+    if split_ops.supports_split(problem):
+        # even-L lattices take the split-checkerboard engine
+        # (ops/split.py): maskless half-array phases, zero lane padding
+        spins, es = split_ops.sa_anneal_split(
+            problem, temps, spins, key, collect_energy=collect_energy
+        )
+    else:
+        spins, es = sweep_scan(
+            problem, spins, key, temps, collect_energy=collect_energy
+        )
     if collect_energy:
         return spins, es
     return spins
