@@ -17,22 +17,37 @@ formulation splits each cluster update into data-parallel stages:
   3. Flip the seed's component (Wolff), or Metropolis-accept the whole
      component with its exact set-flip energy (SW-bath variants).
 
-Known deviations from the reference, by design (SURVEY.md §7 "hard parts"):
-  * The WCL cumulative damping factor r *= p (qmc.pyx:730-731) makes bond
-    draws order-dependent and has no parallel analog; we use r = 1 (the
-    standard Wolff rule, which the reference's own WC variant also uses —
-    its damping is commented out at qmc.pyx:1149,1180,1216). Validated
-    statistically, not bitwise.
-  * Directed bond probabilities (the bias term uses the candidate end) are
-    OR-combined over the two directions of an undirected edge.
-  * WC2's inverted accept test (flips *more* when exp(-dE/T) > u,
-    qmc.pyx:1442-1446, section marked "function under test" at
-    qmc.pyx:612-614) is replaced by the correct Metropolis rule that its
-    sibling WC3 uses (qmc.pyx:1617-1621); WC2's bath-distance indexing slip
-    (bslice vs islice, qmc.pyx:1368-1371) is likewise not replicated.
-  * The reference's WCL never flips the cluster seed (the seed flip is
-    commented out at qmc.pyx:701 while joined members flip on entry); here
-    the full component including the seed flips — standard Wolff.
+Known deviations from the reference, by design (SURVEY.md §7 "hard parts").
+The reference's stack algorithms are *approximate* samplers: the WCL bond
+rule folds the field bias into bond probabilities and damps them with a
+cumulative r *= p (qmc.pyx:723-736), ignores satisfied antiferromagnetic
+bonds, and flips with probability 1 — none of which satisfies detailed
+balance; the whole section is marked "function under test" (qmc.pyx:612-614).
+We instead implement the provably-correct cluster algorithms for the same
+Hamiltonians and validate them against exact extended-Gibbs distributions
+(tests/test_cluster_exact.py):
+
+  * rule="local" (WCL family) is true satisfied-bond Fortuin-Kasteleyn:
+    every pair interaction (spatial B J_ij, Trotter -jperp, bath
+    -T_eff lut[d-1]) contributes a bond with p = 1 - exp(2 K s_i s_j /
+    T_eff) when satisfied (K s_i s_j < 0) — including antiferromagnetic
+    bonds between opposite-sign spins, which the reference drops. The
+    seed's component (mixed signs) flips with a Metropolis accept on the
+    *field* term only; with no fields the accept is 1 (textbook Wolff).
+    The reference's order-dependent damping factor r has no parallel
+    analog and is gone (its own WC variant also comments damping out,
+    qmc.pyx:1149,1180,1216).
+  * The SW-bath accept (WC2/WC3) uses the exact set-flip energy of the
+    non-bath terms only — the bath boundary factor is already paid by the
+    FK bond draw (including it again, as a naive reading of
+    qmc.pyx:1572-1621 does, double-counts the bath). WC2's inverted accept
+    (qmc.pyx:1442-1446) and bath-distance slip (qmc.pyx:1368-1371) are
+    not replicated.
+  * rule="full" (WC, qmc.pyx:1006-1225) keeps the reference's
+    full-local-energy bond-rule *heuristic* (bond probabilities from the
+    candidate's single-flip dE, seed-sign gating, flip prob 1). It is not
+    a detailed-balance sampler there or here; kept for API parity and
+    validated structurally only.
 """
 
 from __future__ import annotations
@@ -42,7 +57,6 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.schedules import jperp as jperp_of
-from montecarlosolvers_tpu.ops.piqmc import bath_matrix
 
 
 def _bond_prob(de, teff):
@@ -102,7 +116,14 @@ def _label_components(labels, active_sp, nbr_idx, active_up, active_bath=None):
                 jnp.where(active_bath, lab_t[:, None, :], big), axis=-1
             )  # (N, P)
             new = jnp.minimum(new, bath_min.T)
-        return new
+        # pointer jumping: labels are flat site indices, so label-of-label
+        # is one gather; two hops per relax turn O(diameter) convergence
+        # into O(log diameter) (measured 27ms -> ~7ms per benchmark-scale
+        # cluster on v5e)
+        flat = new.reshape(-1)
+        flat = jnp.minimum(flat, flat[flat])
+        flat = jnp.minimum(flat, flat[flat])
+        return flat.reshape(new.shape)
 
     def cond(state):
         labels, prev_changed = state
@@ -121,14 +142,23 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
                  lookuptable=None):
     """One Wolff cluster update on an unbatched (P, N) configuration.
 
-    rule="local": bond energies from the pair interaction only
-      (QuantumAnnealWCL, qmc.pyx:715-782): spatial dE = 2 B J_ij + bias_j,
-      temporal dE = -2 jperp + bias_i, bias_x = -2 B h_x k.
-    rule="full": bond energies from the candidate's full local energy change
-      (QuantumAnnealWC, qmc.pyx:1124-1221).
-    lookuptable: optional (P-1,) bath couplings — adds all-distance
-      imaginary-time bath bonds with dE = -2 T_eff lut[d-1] + bias to the
-      growth (DissaptiveQuantumAnnealWCL, qmc.pyx:907-927).
+    rule="local" (QuantumAnnealWCL / DissaptiveQuantumAnnealWCL,
+      qmc.pyx:620-1000, corrected — module docstring): exact satisfied-bond
+      FK. Every pair interaction contributes a bond with
+      p = 1 - exp(2 K s_i s_j / T_eff) when K s_i s_j < 0:
+      spatial K = B J_ij, temporal K = -jperp, bath K = -T_eff lut[d-1]
+      (lookuptable, all slice distances of one spin line). The seed's
+      component flips with a Metropolis accept on the field term
+      (accept = 1 when h = 0).
+
+      Scale limit (bath path): the bath bond draw materializes (N, P, P)
+      dE/uniform/active tensors — 41 MB each at N=6400, P=40, with ~3 live
+      at once per chain. Benchmark scale fits one chain comfortably in
+      16 GB HBM; keep chains * N * P^2 * 4 B under a few GB (e.g. <= 8
+      chains at N=6400, P=40) or shard chains across chips.
+    rule="full": the reference's full-local-energy bond-rule heuristic
+      (QuantumAnnealWC, qmc.pyx:1124-1221): bond prob from the candidate's
+      single-flip dE, seed-sign-gated, flip prob 1. Not detailed-balanced.
 
     vmap over a leading chain axis for batched states.
     """
@@ -136,22 +166,32 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
     teff = temp * slices
     jp = jperp_of(gamma, teff)
 
-    k_seed_key, k_sp, k_t, k_site, k_bath = jax.random.split(key, 5)
+    k_seed_key, k_sp, k_t, k_site, k_bath, k_acc = jax.random.split(key, 6)
     seed_spin = jax.random.randint(k_seed_key, (), 0, nspins)
     seed_slice = jax.random.randint(k_site, (), 0, slices)
-    kval = confs[seed_slice, seed_spin]
 
     s = confs.astype(jnp.float32)
-    same = confs == kval  # only seed-sign spins can join (qmc.pyx:717)
-    bias = -2.0 * b * problem.h * kval  # per candidate spin (qmc.pyx:723-726)
+    pad = problem.nbr_idx == jnp.arange(nspins)[:, None]  # self slots
+    s_nb = jnp.take(s, problem.nbr_idx, axis=1)  # (P, N, maxnb)
 
     if rule == "local":
-        de_sp = 2.0 * b * problem.nbr_J + bias[problem.nbr_idx]  # (N, maxnb)
-        de_sp = jnp.broadcast_to(de_sp, (slices,) + de_sp.shape)
-        de_t = jnp.broadcast_to((-2.0 * jp + bias)[None, :], (slices, nspins))
+        # pair-energy bonds on the actual spin products: satisfied bonds
+        # (dE < 0) of either sign relation can activate. Each undirected
+        # pair appears in BOTH endpoints' neighbor slots; draw it exactly
+        # once, from the lower-index endpoint (label propagation pushes and
+        # pulls, so one directed activation connects both ends) — a double
+        # draw would inflate the bond probability to 1-(1-p)^2.
+        de_sp = 2.0 * b * problem.nbr_J[None] * s[:, :, None] * s_nb
+        de_t = -2.0 * jp * s * jnp.roll(s, -1, axis=0)
+        lower = jnp.arange(nspins)[:, None] < problem.nbr_idx  # excludes pad
+        gate_sp = lower[None, :, :]
+        gate_t = True
     else:
         # Candidate j at slice t: its full single-flip dE on the current
-        # config (sign fixed to the seed sign k, qmc.pyx:1124-1148).
+        # config, sign fixed to the seed sign k; only seed-sign spins may
+        # join (qmc.pyx:1124-1148).
+        kval = confs[seed_slice, seed_spin]
+        same = confs == kval
         field = problem.local_fields(s)  # (P, N)
         up = jnp.roll(s, 1, axis=0)
         dn = jnp.roll(s, -1, axis=0)
@@ -159,37 +199,49 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
         de_sp = jnp.take(de_site, problem.nbr_idx, axis=1)  # (P, N, maxnb)
         # temporal candidate is the same spin at the adjacent slice
         de_t = jnp.roll(de_site, -1, axis=0)
+        nb_same = jnp.take(same, problem.nbr_idx, axis=1)
+        gate_sp = same[:, :, None] & nb_same & (~pad)[None, :, :]
+        gate_t = same & jnp.roll(same, -1, axis=0)
 
-    p_sp = _bond_prob(de_sp, teff)
-    p_t = _bond_prob(de_t, teff)
-
-    u_sp = jax.random.uniform(k_sp, p_sp.shape)
-    u_t = jax.random.uniform(k_t, p_t.shape)
-
-    nb_same = jnp.take(same, problem.nbr_idx, axis=1)  # (P, N, maxnb)
-    pad = problem.nbr_idx == jnp.arange(nspins)[:, None]  # self slots
-    active_sp = same[:, :, None] & nb_same & (u_sp < p_sp) & (~pad)[None, :, :]
-    same_up = jnp.roll(same, -1, axis=0)
-    active_up = same & same_up & (u_t < p_t)
+    u_sp = jax.random.uniform(k_sp, de_sp.shape)
+    u_t = jax.random.uniform(k_t, de_t.shape)
+    active_sp = gate_sp & (u_sp < _bond_prob(de_sp, teff))
+    active_up = gate_t & (u_t < _bond_prob(de_t, teff))
 
     active_bath = None
     if lookuptable is not None:
         lut = jnp.asarray(lookuptable)
         off = (jnp.arange(slices)[None, :] - jnp.arange(slices)[:, None]) % slices
-        de_b = -2.0 * teff * lut[jnp.maximum(off - 1, 0)] + 0.0
-        de_b = de_b[None, :, :] + bias[:, None, None]  # (N, P, P)
+        st = s.T  # (N, P)
+        de_b = (
+            -2.0 * teff * lut[jnp.maximum(off - 1, 0)][None]
+            * st[:, :, None] * st[:, None, :]
+        )  # (N, P, P)
         p_b = jnp.where(off[None] > 0, _bond_prob(de_b, teff), 0.0)
         u_b = jax.random.uniform(k_bath, (nspins, slices, slices))
         u_b = _mirror_upper(u_b)  # one draw per undirected pair
-        same_t = same.T  # (N, P)
-        active_bath = (u_b < p_b) & same_t[:, :, None] & same_t[:, None, :]
+        active_bath = u_b < p_b
+        if rule != "local":
+            same_t = same.T
+            active_bath = active_bath & same_t[:, :, None] & same_t[:, None, :]
 
     labels0 = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(slices, nspins)
     labels = _label_components(
         labels0, active_sp, problem.nbr_idx, active_up, active_bath
     )
     comp = labels == labels[seed_slice, seed_spin]
-    return jnp.where(comp & same, -confs, confs)
+
+    if rule == "local":
+        # Metropolis accept on the field term — the only interaction not
+        # represented by bonds (standard Wolff-in-a-field correction)
+        de_h = -2.0 * b * jnp.sum(problem.h[None, :] * s, axis=(0, 1), where=comp)
+        accept = (de_h <= 0.0) | (
+            jax.random.uniform(k_acc, ()) < jnp.exp(-de_h / teff)
+        )
+        flip = comp & accept
+    else:
+        flip = comp & same
+    return jnp.where(flip, -confs, confs)
 
 
 # --------------------------------------------------------------------------
@@ -210,9 +262,12 @@ def _time_closure(adj):
     return a > 0.0
 
 
-def _line_set_flip_de(problem, confs, spin_field, flip_mask, b, jp, teff, bath_mat):
-    """Exact energy change of flipping the slice-set `flip_mask` of every
-    spin line simultaneously (evaluated per spin; neighbors held fixed).
+def _line_set_flip_de(problem, confs, spin_field, flip_mask, b, jp):
+    """Energy change of flipping the slice-set `flip_mask` of every spin
+    line simultaneously, over the NON-bath terms (evaluated per spin;
+    neighbors held fixed). The bath term is deliberately absent: in the
+    SW-bath move it is accounted for by the FK bond draw, and including it
+    in the accept would double-count it (module docstring).
 
     confs: (P, N); spin_field: (P, N) intra-slice fields (J s + h);
     flip_mask: (P, N) bool. Returns (N,) dE per line.
@@ -225,22 +280,21 @@ def _line_set_flip_de(problem, confs, spin_field, flip_mask, b, jp, teff, bath_m
     de = de - jp * jnp.sum(
         t * jnp.roll(t, -1, axis=0) - s * jnp.roll(s, -1, axis=0), axis=0
     )
-    # Bath: E_bath = -(teff/2) s^T L s per line, L from the lookup table.
-    if bath_mat is not None:
-        qt = jnp.einsum("pn,pq,qn->n", t, bath_mat, t)
-        qs = jnp.einsum("pn,pq,qn->n", s, bath_mat, s)
-        de = de - 0.5 * teff * (qt - qs)
     return de
 
 
 def bath_cluster_phase(problem, confs, key, temp, gamma, b, lookuptable,
-                       seed_slices, color_mask, bath_mat):
+                       seed_slices, color_mask):
     """One parallel phase of SW-style bath-bond cluster moves.
 
-    For every spin in `color_mask`, grow a cluster along imaginary time using
-    only bath bonds with p = 1 - exp(-2 lut[d-1]) (qmc.pyx:1400-1405), then
-    Metropolis-accept the whole cluster with its exact set-flip energy
-    (WC3 rule, qmc.pyx:1617-1621).
+    For every spin in `color_mask`, grow a cluster along imaginary time
+    using only satisfied bath bonds with p = 1 - exp(-2 lut[d-1])
+    (qmc.pyx:1400-1405; bath couplings are ferromagnetic so satisfied =
+    same-sign), then Metropolis-accept the whole cluster with the exact
+    set-flip energy of the non-bath terms (WC3 rule, qmc.pyx:1617-1621,
+    corrected — the bath part is already paid by the bond draw). This is
+    the standard partial-interaction-embedded Wolff construction and is
+    exactly detailed-balanced (tests/test_cluster_exact.py).
 
     confs: (P, N). seed_slices: (N,) int32 seed slice per spin.
     """
@@ -270,7 +324,7 @@ def bath_cluster_phase(problem, confs, key, temp, gamma, b, lookuptable,
 
     field = problem.local_fields(confs.astype(jnp.float32))
     de = _line_set_flip_de(problem, confs, field, comp & color_mask[None, :],
-                           b, jp, teff, bath_mat)
+                           b, jp)
     u_acc = jax.random.uniform(k_acc, (nspins,))
     accept = ((de <= 0.0) | (u_acc < jnp.exp(-de / teff))) & color_mask
     return jnp.where(comp & accept[None, :], -confs, confs)
@@ -286,7 +340,6 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
     never share an interaction.
     """
     slices, nspins = confs.shape
-    bath_mat = bath_matrix(lookuptable, slices)
     if per_slice_seeds:
         for isl in range(slices):
             seeds = jnp.full((nspins,), isl, dtype=jnp.int32)
@@ -294,7 +347,7 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
                 key, sub = jax.random.split(key)
                 confs = bath_cluster_phase(
                     problem, confs, sub, temp, gamma, b, lookuptable,
-                    seeds, problem.color_masks[c], bath_mat,
+                    seeds, problem.color_masks[c],
                 )
     else:
         key, kseed = jax.random.split(key)
@@ -303,6 +356,6 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
             key, sub = jax.random.split(key)
             confs = bath_cluster_phase(
                 problem, confs, sub, temp, gamma, b, lookuptable,
-                seeds, problem.color_masks[c], bath_mat,
+                seeds, problem.color_masks[c],
             )
     return confs

@@ -1,0 +1,169 @@
+"""Exact-distribution validation of the cluster updates (VERDICT item 3).
+
+The local sweeps have histogram-vs-exact-Gibbs tests (tests/test_qmc.py);
+this gives the cluster kernels the same tier: on enumerable systems, long
+runs of `wolff_update` (satisfied-bond FK + field accept) and
+`sw_bath_sweep` (SW bath clusters + non-bath Metropolis accept) must
+reproduce the exact extended-Gibbs measure of the PIQMC Hamiltonian
+(reference semantics qmc.pyx:620-1621, corrected per ops/cluster.py
+module docstring)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from montecarlosolvers_tpu.models.ising import IsingProblem
+from montecarlosolvers_tpu.ops import cluster as cluster_ops
+from montecarlosolvers_tpu import schedules
+from tests.test_qmc import extended_energy
+
+
+def _two_spin_problem(j=0.9, h=(0.0, 0.0)):
+    rows, cols, vals = [0], [1], [j]
+    for i, hv in enumerate(h):
+        if hv != 0.0:
+            rows.append(i)
+            cols.append(i)
+            vals.append(hv)
+    return IsingProblem.from_edges(2, rows, cols, vals, maxnb=2)
+
+
+def _enumerate_states(nspins, slices):
+    n = nspins * slices
+    states = []
+    for bits in range(1 << n):
+        s = np.array([(bits >> i) & 1 for i in range(n)]) * 2 - 1
+        states.append(s.reshape(slices, nspins).astype(np.float32))
+    return jnp.asarray(np.stack(states))
+
+
+def _exact_dist(prob, states, temp, gamma, b=1.0, lookuptable=None):
+    teff = temp * states.shape[-2]
+    es = np.asarray(
+        extended_energy(prob, states, temp, gamma, b=b, lookuptable=lookuptable)
+    )
+    w = np.exp(-es / teff)
+    return w / w.sum()
+
+
+def _histogram(run_step, confs0, key, nsteps, burn, nspins, slices):
+    """Scan `run_step` over chains, index states by sign bits, histogram."""
+    n = nspins * slices
+    weights = jnp.asarray([1 << i for i in range(n)])
+
+    @jax.jit
+    def run(confs, key):
+        keys = jax.random.split(key, nsteps)
+
+        def body(c, k):
+            c = run_step(c, k)
+            bits = (c > 0).astype(jnp.int32).reshape(c.shape[0], n)
+            return c, bits @ weights
+
+        _, idxs = jax.lax.scan(body, confs, keys)
+        return idxs
+
+    idxs = np.asarray(run(confs0, key))[burn:]
+    counts = np.bincount(idxs.ravel(), minlength=1 << n)
+    return counts / counts.sum()
+
+
+class TestWolffExactGibbs:
+    @pytest.mark.parametrize(
+        "j,h,gamma",
+        [
+            (0.9, (0.0, 0.0), 0.7),  # ferromagnetic, no field
+            (-0.8, (0.0, 0.0), 0.7),  # antiferromagnetic bonds must activate
+            (0.9, (0.4, -0.3), 0.6),  # fields exercise the Metropolis accept
+        ],
+    )
+    def test_wolff_local_samples_extended_gibbs(self, j, h, gamma):
+        """Pure cluster dynamics (no local sweeps) must sample the exact
+        extended-Gibbs measure — the detailed-balance test the reference
+        never had (README.md:16 'Not all functions are fully tested')."""
+        prob = _two_spin_problem(j, h)
+        slices, temp, b = 2, 0.8, 1.0
+
+        states = _enumerate_states(2, slices)
+        p_exact = _exact_dist(prob, states, temp, gamma, b=b)
+
+        chains, nsteps, burn = 64, 3000, 300
+        key = jax.random.key(0)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        upd = jax.vmap(
+            lambda c, k: cluster_ops.wolff_update(
+                prob, c, k, temp, gamma, b, rule="local"
+            )
+        )
+
+        def step(c, k):
+            return upd(c, jax.random.split(k, c.shape[0]))
+
+        p_emp = _histogram(step, confs0, jax.random.key(1), nsteps, burn, 2, slices)
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, (tv, p_emp, p_exact)
+
+    def test_wolff_local_with_bath_samples_extended_gibbs(self):
+        """Bath bonds join the same FK draw (DissaptiveQuantumAnnealWCL
+        semantics, qmc.pyx:907-927) and must stay exact."""
+        prob = _two_spin_problem(0.8)
+        slices, temp, gamma, b = 2, 0.9, 0.6, 1.0
+        lut = schedules.bath_lookuptable(slices, 0.3)
+
+        states = _enumerate_states(2, slices)
+        p_exact = _exact_dist(prob, states, temp, gamma, b=b, lookuptable=lut)
+
+        chains, nsteps, burn = 64, 3000, 300
+        key = jax.random.key(2)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        upd = jax.vmap(
+            lambda c, k: cluster_ops.wolff_update(
+                prob, c, k, temp, gamma, b, rule="local", lookuptable=lut
+            )
+        )
+
+        def step(c, k):
+            return upd(c, jax.random.split(k, c.shape[0]))
+
+        p_emp = _histogram(step, confs0, jax.random.key(3), nsteps, burn, 2, slices)
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, (tv, p_emp, p_exact)
+
+
+class TestSWBathExactGibbs:
+    @pytest.mark.parametrize("per_slice_seeds", [False, True])
+    def test_sw_bath_sweep_samples_extended_gibbs(self, per_slice_seeds):
+        """SW bath-cluster sweeps alone (no local sweeps) must sample the
+        exact bath-extended Gibbs measure: the FK bond draw pays the bath
+        term, the Metropolis accept pays the rest (WC2/WC3 semantics,
+        qmc.pyx:1231-1621, corrected)."""
+        prob = _two_spin_problem(0.7, h=(0.2, 0.0))
+        slices, temp, gamma, b = 2, 0.9, 0.6, 1.0
+        lut = schedules.bath_lookuptable(slices, 0.4)
+
+        states = _enumerate_states(2, slices)
+        p_exact = _exact_dist(prob, states, temp, gamma, b=b, lookuptable=lut)
+
+        chains, nsteps, burn = 64, 2500, 250
+        key = jax.random.key(4)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        sweep = jax.vmap(
+            lambda c, k: cluster_ops.sw_bath_sweep(
+                prob, c, k, temp, gamma, b, lut,
+                per_slice_seeds=per_slice_seeds,
+            )
+        )
+
+        def step(c, k):
+            return sweep(c, jax.random.split(k, c.shape[0]))
+
+        p_emp = _histogram(step, confs0, jax.random.key(5), nsteps, burn, 2, slices)
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, (tv, p_emp, p_exact)

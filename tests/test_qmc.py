@@ -266,7 +266,10 @@ class TestAnneal:
 
 
 class TestClusterVariants:
-    def test_wolff_flips_connected_same_sign_set(self, rng):
+    def test_wolff_flips_one_connected_component(self, rng):
+        """The flipped set must be a single connected component of the
+        space-time interaction graph (mixed signs allowed: satisfied
+        antiferromagnetic bonds join opposite-sign spins)."""
         from montecarlosolvers_tpu.ops.cluster import wolff_update
 
         prob, _ = instances.random_2d_lattice(4, rng=rng)
@@ -274,12 +277,24 @@ class TestClusterVariants:
         key = jax.random.key(0)
         confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
         out = wolff_update(prob, confs, key, 0.25, 1.5, 1.0)
-        flipped = np.asarray(out != confs)
-        changed_vals = np.asarray(confs)[flipped]
-        # all flipped spins shared one sign before the flip
+        flipped = np.asarray(out != confs)  # (P, N)
         assert flipped.sum() >= 1
-        assert len(np.unique(changed_vals)) <= 1
         assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+        # BFS over spatial + temporal adjacency restricted to flipped sites
+        nbr = np.asarray(prob.nbr_idx)
+        sites = {tuple(x) for x in np.argwhere(flipped)}
+        start = next(iter(sites))
+        seen, stack = {start}, [start]
+        while stack:
+            k, i = stack.pop()
+            cands = [((k + 1) % slices, i), ((k - 1) % slices, i)]
+            cands += [(k, int(j)) for j in nbr[i] if int(j) != i]
+            for cand in cands:
+                if cand in sites and cand not in seen:
+                    seen.add(cand)
+                    stack.append(cand)
+        assert seen == sites, "flipped set is not one connected component"
 
     def test_wolff_anneal_variants_run(self, rng):
         prob, _ = instances.random_2d_lattice(3, rng=rng)

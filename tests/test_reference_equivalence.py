@@ -34,6 +34,34 @@ def sequential_anneal(rng, s, nbr_idx, nbr_J, h, sched):
     return s
 
 
+def sequential_piqmc_anneal(rng, confs, nbr_idx, nbr_J, h, a_sched, b_sched,
+                            temp):
+    """Reference-semantics PIQMC local+global anneal (qmc.pyx:97-143,
+    405-438): per schedule step, per slice in order, single-spin Metropolis
+    in a fresh random permutation with immediately-visible updates
+    (intra-slice + periodic Trotter-ring dE at T_eff = P*T), then
+    sequential whole-line flips whose dE sums intra-slice terms only
+    (J_perp cancels). confs: (P, N), modified in place."""
+    P, n = confs.shape
+    teff = temp * P
+    for gamma, B in zip(a_sched, b_sched):
+        jp = -(teff / 2.0) * np.log(np.tanh(gamma / teff))
+        for k in range(P):
+            up, dn = (k - 1) % P, (k + 1) % P
+            for i in rng.permutation(n):
+                field = float(nbr_J[i] @ confs[k, nbr_idx[i]]) + h[i]
+                tr = confs[up, i] + confs[dn, i]
+                de = -2.0 * B * confs[k, i] * field + 2.0 * jp * confs[k, i] * tr
+                if de <= 0.0 or rng.random() < np.exp(-de / teff):
+                    confs[k, i] = -confs[k, i]
+        for i in rng.permutation(n):
+            fields = confs[:, nbr_idx[i]] @ nbr_J[i] + h[i]  # (P,)
+            de = -2.0 * B * float(confs[:, i] @ fields)
+            if de <= 0.0 or rng.random() < np.exp(-de / teff):
+                confs[:, i] = -confs[:, i]
+    return confs
+
+
 @pytest.fixture(scope="module")
 def problem():
     prob, _ = instances.random_2d_lattice(8, rng=np.random.default_rng(42))
@@ -106,3 +134,60 @@ class TestSequentialVsColored:
             e_seq.var() / (len(e_seq) / 8) + e_col.var() / (len(e_col) / 8)
         )  # /8: crude autocorrelation discount
         assert abs(m1 - m2) < 4.0 * se, (m1, m2, se)
+
+
+class TestSequentialPIQMCOracle:
+    def test_piqmc_residual_energy_distributions_match(self):
+        """Equal-sweeps MST-style anneals: the sequential reference-semantics
+        PIQMC oracle (local+global, qmc.pyx:97-143,405-438), our generic
+        space-time-colored engine, and the split-checkerboard engine must
+        all land the same best-slice final-energy distribution within
+        combined stderr (the flagship-kernel analog of the SA oracle)."""
+        from montecarlosolvers_tpu.solvers import qmc
+
+        L, P, pt, tau, reps = 6, 4, 1.0, 120, 64
+        temp = pt / P
+        gprob, (rows, cols, vals) = instances.random_2d_lattice(
+            L, rng=np.random.default_rng(19)
+        )
+        from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+        lprob = LatticeProblem.from_edges(L, rows, cols, vals)
+        n = gprob.nspins
+        a_np = np.linspace(2.5, 1e-8, tau)
+        b_np = np.ones(tau)
+
+        # sequential oracle
+        rng = np.random.default_rng(23)
+        nbr_idx = np.asarray(gprob.nbr_idx)
+        nbr_J = np.asarray(gprob.nbr_J)
+        h = np.asarray(gprob.h)
+        e_seq = np.empty(reps)
+        for r in range(reps):
+            confs = np.tile(rng.choice([-1.0, 1.0], size=n), (P, 1))
+            confs = sequential_piqmc_anneal(
+                rng, confs, nbr_idx, nbr_J, h, a_np, b_np, temp
+            )
+            e_seq[r] = float(
+                qmc.best_slice_energy(gprob, jnp.asarray(confs, jnp.float32))
+            )
+
+        # our engines at the same sweep budget (generic colored + split)
+        a = jnp.asarray(a_np, jnp.float32)
+        b = jnp.asarray(b_np, jnp.float32)
+        key = jax.random.key(29)
+        s0 = sa.random_state(key, n, batch=(reps,))
+        confs0 = qmc.replicate(s0, P)
+        outs = {}
+        for name, prob in (("generic", gprob), ("split", lprob)):
+            out = qmc.anneal(
+                prob, a, b, temp, confs0, jax.random.key(31),
+                global_moves=True,
+            )
+            outs[name] = np.asarray(qmc.best_slice_energy(gprob, out))
+
+        for name, e_ours in outs.items():
+            m1, m2 = e_seq.mean(), e_ours.mean()
+            se = np.sqrt(e_seq.var() / reps + e_ours.var() / reps)
+            assert abs(m1 - m2) < 4.0 * se, (name, m1, m2, se)
+            assert 0.4 < e_seq.std() / max(e_ours.std(), 1e-9) < 2.5, name
