@@ -37,18 +37,34 @@ DEFAULT_TAUS = np.unique(np.geomspace(60, 6e6, 14).astype(np.int64))
 DEFAULT_EXPS = ((1, 5), (1, 10), (1, 20), (1, 40))
 
 
-def sa_arm(problem, tau, reps, key, pre_temp=3.0):
+class BudgetExceeded(Exception):
+    """Raised when a run hits its wall-clock budget; the caller exits and
+    an outer loop restarts the process (remote-TPU workers degrade past
+    ~20 min of device time — ARCHITECTURE.md §8). All finished work is on
+    disk, so the restart resumes at the first missing chunk."""
+
+
+def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000):
     """One SA point: `reps` chains annealed T: pre_temp -> 0 over tau steps
-    (examples/santoro80.py:258-262). Returns per-chain energies."""
+    (examples/santoro80.py:258-262). Returns per-chain energies.
+
+    Schedules longer than `segment` run as several dispatches (a single
+    multi-minute scan dispatch can trip the remote-TPU watchdog)."""
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
-    sched = schedules.linear(pre_temp, 0.0, int(tau))
-    out = sa.anneal(problem, sched, s0, k2)
+    sched = np.asarray(schedules.linear(pre_temp, 0.0, int(tau)))
+    out = s0
+    for seg_i in range(0, len(sched), segment):
+        out = sa.anneal(
+            problem, jnp.asarray(sched[seg_i:seg_i + segment]), out,
+            jax.random.fold_in(k2, seg_i),
+        )
     return np.asarray(problem.energy(out))
 
 
 def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
-              global_moves=True, chunk=8, segment=25_000):
+              global_moves=True, chunk=16, segment=25_000,
+              cache_prefix=None, deadline=None):
     """One PIQMC point following the full MST protocol
     (examples/santoro80.py:269-296): pre-anneal, replicate, Gamma-anneal,
     best-slice readout. Returns per-chain best-slice energies.
@@ -59,6 +75,12 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     per-segment keys — long single dispatches can trip remote-TPU
     watchdogs (ARCHITECTURE.md §8), and segment boundaries also bound the
     compile count for very long anneals.
+
+    With `cache_prefix`, each finished chunk is checkpointed to
+    `<cache_prefix>.chunk<i>.npz` and skipped on re-run, so a long point
+    (tau = 6e6 at P = 40 is ~45 min of device time) survives process
+    restarts; `deadline` (absolute time.time()) raises BudgetExceeded
+    before starting a chunk that would overrun it.
     """
     temp = pt / slices
     fieldstart = 3.0 if pt == 1 else 2.5
@@ -70,6 +92,13 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     done = 0
     while done < reps:
         n = min(chunk, reps - done)
+        part = f"{cache_prefix}.chunk{done}.npz" if cache_prefix else None
+        if part and os.path.exists(part):
+            outs.append(np.load(part)["energies"])
+            done += n
+            continue
+        if deadline is not None and time.time() > deadline:
+            raise BudgetExceeded(f"{cache_prefix} at chunk {done}/{reps}")
         kc = jax.random.fold_in(key, done)
         k1, k2, k3 = jax.random.split(kc, 3)
         s0 = sa.random_state(k1, problem.nspins, batch=(n,))
@@ -81,20 +110,28 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
                 problem, a, jnp.ones_like(a), temp, confs,
                 jax.random.fold_in(k3, seg_i), global_moves=global_moves,
             )
-        outs.append(np.asarray(qmc.best_slice_energy(problem, confs)))
+        es = np.asarray(qmc.best_slice_energy(problem, confs))
+        if part:
+            np.savez(part, energies=es)
+        outs.append(es)
         done += n
     return np.concatenate(outs)
 
 
 def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
-                  exps=DEFAULT_EXPS, seed=0, max_tau=None, verbose=True):
+                  exps=DEFAULT_EXPS, seed=0, max_tau=None, verbose=True,
+                  budget_s=None):
     """Run the full SA-vs-PIQMC residual-energy sweep with incremental
-    checkpointing. Returns {name: (taus, eps_res_means)}.
+    checkpointing. Returns ({name: (taus, eps_res_means)}, complete).
 
     Each completed (arm, tau) point is written to `outdir` immediately
     (the reference's incremental np.save pattern,
-    examples/santoro80.py:254-265) and skipped on re-run.
-    """
+    examples/santoro80.py:254-265) and skipped on re-run; long PIQMC
+    points additionally checkpoint per chain chunk. With `budget_s`, the
+    run stops cleanly once the wall-clock budget is spent and returns
+    complete=False — re-invoking resumes where it stopped (the remote-TPU
+    worker degrades past ~20 min of device time, so long matrices are run
+    as a restart loop; examples/santoro_mst.py --budget)."""
     os.makedirs(outdir, exist_ok=True)
     taus = DEFAULT_TAUS if taus is None else np.asarray(taus)
     if max_tau is not None:
@@ -102,18 +139,22 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
     nspins = problem.nspins
     key = jax.random.key(seed)
     results = {}
+    t_start = time.time()
+    deadline = t_start + budget_s if budget_s is not None else None
 
     def point(name, fn):
         path = os.path.join(outdir, f"{name}.npz")
         if os.path.exists(path):
             d = np.load(path)
             return float(d["eps"]), False
+        if deadline is not None and time.time() > deadline:
+            raise BudgetExceeded(name)
         energies = fn()
         eps = float((energies.mean() - e_gs) / nspins)
         np.savez(path, energies=energies, eps=eps)
         return eps, True
 
-    t_start = time.time()
+    complete = True
     arms = [("CA", None)] + [(f"PT={pt}_P={p}", (pt, p)) for pt, p in exps]
     for name, cfg in arms:
         xs, ys = [], []
@@ -122,18 +163,38 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
             kp = jax.random.fold_in(
                 key, zlib.crc32(f"{name}:{int(tau)}".encode()) & 0x7FFFFFFF
             )
-            if cfg is None:
-                eps, fresh = point(
-                    f"CA_tau{tau}", lambda: sa_arm(problem, tau, reps, kp)
-                )
-                xs.append(int(tau))
-            else:
-                pt, p = cfg
-                eps, fresh = point(
-                    f"{name}_tau{tau}",
-                    lambda: piqmc_arm(problem, tau, reps, kp, pt=pt, slices=p),
-                )
-                xs.append(int(tau) * p)  # total sweeps across replicas
+            try:
+                if cfg is None:
+                    eps, fresh = point(
+                        f"CA_tau{tau}", lambda: sa_arm(problem, tau, reps, kp)
+                    )
+                    xs.append(int(tau))
+                else:
+                    pt, p = cfg
+                    eps, fresh = point(
+                        f"{name}_tau{tau}",
+                        lambda: piqmc_arm(
+                            problem, tau, reps, kp, pt=pt, slices=p,
+                            # smaller chunks at large P bound the wall time
+                            # of one (uncheckpointable) chunk to ~9 min at
+                            # tau = 6e6, keeping restarts effective
+                            chunk=8 if p >= 40 else 16,
+                            cache_prefix=os.path.join(
+                                outdir, f"{name}_tau{tau}"
+                            ),
+                            deadline=deadline,
+                        ),
+                    )
+                    xs.append(int(tau) * p)  # total sweeps across replicas
+            except BudgetExceeded as e:
+                if verbose:
+                    print(
+                        f"[{time.time()-t_start:7.1f}s] budget exhausted "
+                        f"at {e}; resume to continue",
+                        flush=True,
+                    )
+                complete = False
+                break
             ys.append(eps)
             if verbose:
                 mark = "ran" if fresh else "cached"
@@ -143,6 +204,8 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
                     flush=True,
                 )
         results[name] = (np.asarray(xs), np.asarray(ys))
+        if not complete:
+            break
 
     with open(os.path.join(outdir, "summary.json"), "w") as f:
         json.dump(
@@ -150,7 +213,7 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
              for k, v in results.items()},
             f, indent=2,
         )
-    return results
+    return results, complete
 
 
 def summarize_dir(outdir, nspins, e_gs, exps=DEFAULT_EXPS):

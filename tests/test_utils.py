@@ -89,18 +89,37 @@ class TestMstHarness:
 
         prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
         e_gs = float(prob.energy(jnp.ones(16)))  # arbitrary anchor
-        res1 = mst.mst_benchmark(
+        res1, done1 = mst.mst_benchmark(
             prob, e_gs, outdir=str(tmp_path), taus=[20, 50], reps=3,
             exps=((1, 4),), verbose=False,
         )
         # second run must come entirely from cache, identical values
-        res2 = mst.mst_benchmark(
+        res2, done2 = mst.mst_benchmark(
             prob, e_gs, outdir=str(tmp_path), taus=[20, 50], reps=3,
             exps=((1, 4),), verbose=False,
         )
+        assert done1 and done2
         for k in res1:
             assert np.array_equal(res1[k][1], res2[k][1])
         assert os.path.exists(tmp_path / "summary.json")
+
+    def test_budget_resume(self, rng, tmp_path):
+        """A zero-budget run stops before computing anything and reports
+        incomplete; a later unbudgeted run finishes the matrix."""
+        from montecarlosolvers_tpu.bench import mst
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        e_gs = float(prob.energy(jnp.ones(16)))
+        res, done = mst.mst_benchmark(
+            prob, e_gs, outdir=str(tmp_path), taus=[20], reps=2,
+            exps=((1, 4),), verbose=False, budget_s=0.0,
+        )
+        assert not done
+        res, done = mst.mst_benchmark(
+            prob, e_gs, outdir=str(tmp_path), taus=[20], reps=2,
+            exps=((1, 4),), verbose=False,
+        )
+        assert done and "CA" in res and "PT=1_P=4" in res
 
     def test_plot(self, rng, tmp_path):
         from montecarlosolvers_tpu.bench import mst
