@@ -99,8 +99,12 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         k1, k2, k3 = jax.random.split(key, 3)
         s0 = sa_mod.random_state(k1, n, batch=(num_reads,))
         if kw.get("pre_anneal", True):
+            # protocol-grade pre-anneal: 100 sweeps per 0.05-step (the MST
+            # driver's setting, examples/santoro80.py:284-285); costs only
+            # ~4100 classical sweeps and measurably improves quality at
+            # fixed Gamma-sweep budget (tests/test_api.py quality test)
             pre = schedules.pre_anneal_schedule(3.0, pt)
-            s0 = sa_mod.anneal(problem, pre, s0, k2, mcsteps=10)
+            s0 = sa_mod.anneal(problem, pre, s0, k2, mcsteps=100)
         confs = qmc_mod.replicate(s0, slices)
         a = schedules.transverse_field(kw.get("field_start", 3.0), 1e-8,
                                        sweeps)

@@ -39,6 +39,22 @@ class TestSolve:
         b = solve(prob, num_reads=4, sweeps=50, seed=7)
         assert np.array_equal(a.samples, b.samples)
 
+    def test_piqmc_preset_beats_sa_at_equal_sweeps(self):
+        """Quality regression on the presets (VERDICT item 8): at an equal
+        Gamma/T sweep budget too short for SA to converge, the default
+        piqmc preset must land a lower mean energy than sa — the MST
+        ordering (examples/santoro80.py) at API-default settings."""
+        p, _ = instances.random_2d_lattice(6, rng=np.random.default_rng(3))
+        e_gs = None  # 36 spins: no enumeration; compare methods directly
+        sweeps, reads = 120, 128
+        r_sa = solve(p, method="sa", num_reads=reads, sweeps=sweeps, seed=5)
+        r_q = solve(p, method="piqmc", num_reads=reads, sweeps=sweeps,
+                    seed=5, slices=8)
+        m_sa, m_q = r_sa.energies.mean(), r_q.energies.mean()
+        se = np.sqrt(r_sa.energies.var() / reads + r_q.energies.var() / reads)
+        assert m_q < m_sa - 2.0 * se, (m_q, m_sa, se)
+        assert r_q.best_energy <= r_sa.best_energy + 1e-6
+
 
 class TestGenerators:
     def test_sk_model(self):

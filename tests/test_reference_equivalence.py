@@ -7,6 +7,15 @@ implements the sequential algorithm directly from its defining equations
 (as a NumPy oracle) and checks that annealed residual-energy distributions
 agree within statistical error at equal sweep counts — the validation
 criterion of SURVEY.md §4 / BASELINE.md.
+
+A direct head-to-head against the compiled Cython reference is not
+possible in this environment: Cython is not installed and the sandbox has
+no package egress (`pip install cython` is unavailable), and the shipped
+binaries are win-amd64/py36 (solvers/*.cp36-win_amd64.pyd). These oracles
+are the substitute: they implement the reference kernels' defining update
+rules (sa.pyx:71-99; qmc.pyx:97-143,405-438) in NumPy with sequential
+semantics and compare distributions, which validates the same property a
+binary head-to-head would.
 """
 
 import numpy as np
