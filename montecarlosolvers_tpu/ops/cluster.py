@@ -57,6 +57,7 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.schedules import jperp as jperp_of
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
 
 
 def _bond_prob(de, teff):
@@ -235,9 +236,7 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
         # Metropolis accept on the field term — the only interaction not
         # represented by bonds (standard Wolff-in-a-field correction)
         de_h = -2.0 * b * jnp.sum(problem.h[None, :] * s, axis=(0, 1), where=comp)
-        accept = (de_h <= 0.0) | (
-            jax.random.uniform(k_acc, ()) < jnp.exp(-de_h / teff)
-        )
+        accept = metropolis_accept(de_h, teff, jax.random.uniform(k_acc, ()))
         flip = comp & accept
     else:
         flip = comp & same
@@ -326,7 +325,7 @@ def bath_cluster_phase(problem, confs, key, temp, gamma, b, lookuptable,
     de = _line_set_flip_de(problem, confs, field, comp & color_mask[None, :],
                            b, jp)
     u_acc = jax.random.uniform(k_acc, (nspins,))
-    accept = ((de <= 0.0) | (u_acc < jnp.exp(-de / teff))) & color_mask
+    accept = metropolis_accept(de, teff, u_acc) & color_mask
     return jnp.where(comp & accept[None, :], -confs, confs)
 
 

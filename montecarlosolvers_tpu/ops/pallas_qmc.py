@@ -105,7 +105,7 @@ def _qmc_kernel(seed_ref, a_ref, b_ref, jr, jl, jd, ju, h, s_in, s_out, *,
                 s_dn = pltpu.roll(s, slices - 1, 1)
                 de = -2.0 * bcoef * s * f + 2.0 * s * jp * (s_up + s_dn)
                 u = _uniform01_4d(base + jnp.int32(p * 1013904223), site_ids)
-                accept = (de <= 0.0) | (jnp.exp(-de / teff) > u)
+                accept = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
                 flip = accept & (stc == p)
                 s_out[:] = jnp.where(flip, -s, s)
             if global_moves:
@@ -123,7 +123,7 @@ def _qmc_kernel(seed_ref, a_ref, b_ref, jr, jl, jd, ju, h, s_in, s_out, *,
                     u0 = jax.lax.broadcast_in_dim(
                         u[:, 0:1], u.shape, (0, 1, 2, 3)
                     )
-                    accept = (de_line <= 0.0) | (jnp.exp(-de_line / teff) > u0)
+                    accept = (de_line <= 0.0) | (-teff * jnp.log1p(-u0) > de_line)
                     flip = accept & (parity == color)
                     s_out[:] = jnp.where(flip, -s, s)
         return 0

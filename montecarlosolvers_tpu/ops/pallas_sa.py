@@ -160,7 +160,7 @@ def _sa_kernel(seed_ref, sched_ref, jr, jl, jd, ju, h, s_in, s_out, *,
                     + jnp.int32(color * 1013904223)
                 )
                 u = _uniform01(ctr, site_ids)
-                accept = (de <= 0.0) | (jnp.exp(-de / temp) > u)
+                accept = (de <= 0.0) | (-temp * jnp.log1p(-u) > de)
                 flip = accept & (parity == color)
                 s_out[:] = jnp.where(flip, -s, s)
         return 0

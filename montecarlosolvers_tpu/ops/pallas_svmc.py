@@ -95,7 +95,7 @@ def _svmc_kernel(seed_ref, a_ref, b_ref, jr, jl, jd, ju, h, th_in, th_out, *,
                              row_wrap, col_wrap)
                 de = b_c * (jnp.cos(prop) - ct) * zf
                 de = de + a_c * (jnp.sin(th) - jnp.sin(prop))
-                accept = ((de <= 0.0) | (jnp.exp(-de / temp) > u_acc)) & (
+                accept = ((de <= 0.0) | (-temp * jnp.log1p(-u_acc) > de)) & (
                     parity == color
                 )
                 th_out[:] = jnp.where(accept, prop, th)

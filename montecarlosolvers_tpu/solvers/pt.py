@@ -20,7 +20,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from montecarlosolvers_tpu.ops.metropolis import colored_metropolis_sweep
+from montecarlosolvers_tpu.ops.metropolis import (
+    colored_metropolis_sweep,
+    metropolis_accept,
+)
 
 
 def _swap_phase(problem, states, temps, key, parity):
@@ -41,7 +44,8 @@ def _swap_phase(problem, states, temps, key, parity):
         e - e[jnp.clip(idx + 1, 0, M - 1)]
     )
     u = jax.random.uniform(key, (M,))
-    accept_anchor = is_anchor & ((delta >= 0.0) | (u < jnp.exp(delta)))
+    # log-form accept (floor-free; ops/metropolis.py): p = min(1, e^delta)
+    accept_anchor = is_anchor & metropolis_accept(-delta, 1.0, u)
     # an index participates in a swap if it's an accepted anchor or the
     # partner of one
     accept = accept_anchor | jnp.roll(accept_anchor, 1)
