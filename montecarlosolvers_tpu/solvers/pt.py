@@ -11,12 +11,22 @@ attempt) exchange configurations with the standard acceptance
 
 which preserves the product of Gibbs measures (validated by the exact
 per-temperature histogram test in tests/test_pt.py).
+
+Two further extensions:
+  * `sample_piqmc` — quantum parallel tempering: the ladder runs along the
+    transverse field Gamma at fixed T. Swapping configurations between
+    adjacent Gamma rungs changes only the kinetic term -J_perp(Gamma) K(x)
+    of the extended Hamiltonian (K = sum of Trotter-neighbor products), so
+    p = min(1, exp(-(J_perp_i - J_perp_j)(K_i - K_j)/T_eff)).
+  * `tune_ladder` — equalizes measured adjacent-rung swap rates by
+    redistributing rungs along the cumulative swap resistance.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +34,27 @@ from montecarlosolvers_tpu.ops.metropolis import (
     colored_metropolis_sweep,
     metropolis_accept,
 )
+from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+from montecarlosolvers_tpu.schedules import jperp as jperp_of
+
+
+def _exchange_perm(key, parity, de_pair, temp):
+    """Masked adjacent-pair exchange. de_pair[k] is the Metropolis energy
+    of swapping rungs (k, k+1) at temperature `temp`; anchors are rungs
+    with k % 2 == parity. Returns (perm (M,), accept_anchor (M,))."""
+    M = de_pair.shape[0]
+    idx = jnp.arange(M)
+    is_anchor = (idx % 2 == parity) & (idx + 1 < M)
+    partner = jnp.where(is_anchor, idx + 1, jnp.where(
+        (idx % 2 != parity) & (idx > 0), idx - 1, idx))
+    u = jax.random.uniform(key, (M,))
+    # log-form accept (floor-free; ops/metropolis.py)
+    accept_anchor = is_anchor & metropolis_accept(de_pair, temp, u)
+    # an index participates in a swap if it's an accepted anchor or the
+    # partner of one
+    accept = accept_anchor | jnp.roll(accept_anchor, 1)
+    perm = jnp.where(accept, partner, idx)
+    return perm, accept_anchor
 
 
 def _swap_phase(problem, states, temps, key, parity):
@@ -34,28 +65,18 @@ def _swap_phase(problem, states, temps, key, parity):
     M = temps.shape[0]
     e = problem.energy(states)  # (M,)
     beta = 1.0 / temps
-    # pair anchor k swaps with k+1
     idx = jnp.arange(M)
-    is_anchor = (idx % 2 == parity) & (idx + 1 < M)
-    partner = jnp.where(is_anchor, idx + 1, jnp.where(
-        (idx % 2 != parity) & (idx > 0), idx - 1, idx))
-    # only anchors draw the decision; partner mirrors it
     delta = (beta - beta[jnp.clip(idx + 1, 0, M - 1)]) * (
         e - e[jnp.clip(idx + 1, 0, M - 1)]
     )
-    u = jax.random.uniform(key, (M,))
-    # log-form accept (floor-free; ops/metropolis.py): p = min(1, e^delta)
-    accept_anchor = is_anchor & metropolis_accept(-delta, 1.0, u)
-    # an index participates in a swap if it's an accepted anchor or the
-    # partner of one
-    accept = accept_anchor | jnp.roll(accept_anchor, 1)
-    perm = jnp.where(accept, partner, idx)
+    perm, accept_anchor = _exchange_perm(key, parity, -delta, 1.0)
     return states[perm], accept_anchor
 
 
-@partial(jax.jit, static_argnames=("nsweeps", "swap_every", "collect_energy"))
+@partial(jax.jit, static_argnames=("nsweeps", "swap_every", "collect_energy",
+                                   "per_pair_rates"))
 def sample(problem, temps, states, key, nsweeps, swap_every=1,
-           collect_energy=False):
+           collect_energy=False, per_pair_rates=False):
     """Run parallel tempering.
 
     Args:
@@ -64,9 +85,11 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
       states: (M, N) one configuration per rung.
       nsweeps: total sweeps per replica.
       swap_every: exchange attempt cadence.
+      per_pair_rates: also return the (M-1,) per-adjacent-pair acceptance
+        rates (the tune_ladder signal).
 
     Returns:
-      (states, swap_rate) or (states, swap_rate, energies (nsweeps, M)).
+      (states, swap_rate[, energies (nsweeps, M)][, pair_rates (M-1,)]).
     """
     temps = jnp.asarray(temps)
     keys = jax.random.split(key, nsweeps)
@@ -87,7 +110,7 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
             return colored_metropolis_sweep(problem, states, k, temps[:, None])
 
     def body(carry, k):
-        states, nacc, npairs, natt = carry
+        states, nacc, natt_pair, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
         states = _sweep(states, k1)
         i = natt  # sweep counter doubles as swap parity clock
@@ -101,18 +124,129 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
             do_swap, with_swap, lambda s: (s, jnp.zeros_like(temps, bool)),
             states,
         )
-        # pairs actually attempted this step: anchors k%2==parity, k+1<M
-        attempted = jnp.where(do_swap, (M - parity) // 2, 0)
+        # anchors attempted this step: k % 2 == parity, k+1 < M
+        idx = jnp.arange(M)
+        attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
         e = problem.energy(states) if collect_energy else None
-        return (states, nacc + acc.sum(), npairs + attempted, natt + 1), e
+        return (states, nacc + acc, natt_pair + attempted, natt + 1), e
 
-    (states, nacc, npairs, _), es = jax.lax.scan(
-        body, (states, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0)), keys
+    zero = jnp.zeros((M,), jnp.int32)
+    (states, nacc, natt_pair, _), es = jax.lax.scan(
+        body, (states, zero, zero, jnp.asarray(0)), keys
     )
-    swap_rate = nacc / jnp.maximum(npairs, 1)
+    swap_rate = nacc.sum() / jnp.maximum(natt_pair.sum(), 1)
+    out = (states, swap_rate)
     if collect_energy:
-        return states, swap_rate, es
-    return states, swap_rate
+        out = out + (es,)
+    if per_pair_rates:
+        out = out + ((nacc / jnp.maximum(natt_pair, 1))[:-1],)
+    return out
+
+
+@partial(jax.jit, static_argnames=("nsweeps", "swap_every", "global_moves",
+                                   "per_pair_rates"))
+def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
+                 swap_every=1, global_moves=False, per_pair_rates=False):
+    """Quantum parallel tempering: replica exchange along a transverse-
+    field ladder at fixed temperature.
+
+    Each rung m runs space-time-colored PIQMC sweeps at Gamma = gammas[m];
+    adjacent rungs exchange whole Trotter configurations. Only the kinetic
+    term -J_perp K(x), K(x) = sum_{i,k} s_i^k s_i^{k+1}, differs between
+    rungs, so the exchange acceptance is
+
+        p = min(1, exp(-(J_perp_i - J_perp_j)(K_i - K_j)/T_eff)),
+
+    which preserves the product of extended-Gibbs measures (validated
+    against exact histograms in tests/test_pt.py).
+
+    confs: (M, P, N). Returns (confs, swap_rate[, pair_rates (M-1,)]).
+    """
+    gammas = jnp.asarray(gammas)
+    M = gammas.shape[0]
+    slices = confs.shape[-2]
+    teff = temp * slices
+    jps = jperp_of(gammas, teff)
+    keys = jax.random.split(key, nsweeps)
+
+    def _K(confs):
+        return jnp.sum(confs * jnp.roll(confs, -1, axis=-2), axis=(-1, -2))
+
+    def body(carry, k):
+        confs, nacc, natt_pair, natt = carry
+        k1, k2, k3 = jax.random.split(k, 3)
+        ks = jax.random.split(k1, M)
+        confs = jax.vmap(
+            lambda c, kk, g: piqmc_ops.local_sweep(problem, c, kk, temp, g, b)
+        )(confs, ks, gammas)
+        if global_moves:
+            confs = piqmc_ops.global_line_moves(problem, confs, k3, temp, b)
+        i = natt
+        do_swap = (i % swap_every) == 0
+        parity = (i // swap_every) % 2
+
+        def with_swap(confs):
+            kk = _K(confs)  # (M,)
+            idx = jnp.arange(M)
+            nxt = jnp.clip(idx + 1, 0, M - 1)
+            de = (jps - jps[nxt]) * (kk - kk[nxt])
+            perm, acc = _exchange_perm(k2, parity, de, teff)
+            return confs[perm], acc
+
+        confs, acc = jax.lax.cond(
+            do_swap, with_swap,
+            lambda c: (c, jnp.zeros((M,), bool)), confs,
+        )
+        idx = jnp.arange(M)
+        attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
+        return (confs, nacc + acc, natt_pair + attempted, natt + 1), None
+
+    zero = jnp.zeros((M,), jnp.int32)
+    (confs, nacc, natt_pair, _), _ = jax.lax.scan(
+        body, (confs, zero, zero, jnp.asarray(0)), keys
+    )
+    swap_rate = nacc.sum() / jnp.maximum(natt_pair.sum(), 1)
+    if per_pair_rates:
+        return confs, swap_rate, (nacc / jnp.maximum(natt_pair, 1))[:-1]
+    return confs, swap_rate
+
+
+def tune_ladder(problem, temps, key, rounds=4, sweeps_per_round=200,
+                floor=0.02):
+    """Equalize adjacent-rung swap rates by redistributing rungs along the
+    measured cumulative swap resistance (-log rate), keeping the endpoints
+    fixed. Returns (temps, pair_rates) from the final measurement round.
+
+    The standard PT failure mode is a bottleneck pair whose energy
+    distributions barely overlap; equal resistance per gap maximizes
+    round-trip flow for a fixed rung budget.
+    """
+    temps = np.asarray(temps, dtype=np.float64)
+    asc = temps[0] < temps[-1]
+    if not asc:
+        temps = temps[::-1]
+    M = temps.shape[0]
+    n = problem.nspins
+    k_init, key = jax.random.split(key)
+    states = jnp.where(
+        jax.random.bernoulli(k_init, 0.5, (M, n)), 1.0, -1.0
+    )
+    pair_rates = None
+    for _ in range(rounds):
+        key, kr = jax.random.split(key)
+        states, _, pair_rates = sample(
+            problem, jnp.asarray(temps, jnp.float32), states, kr,
+            sweeps_per_round, per_pair_rates=True,
+        )
+        r = np.clip(np.asarray(pair_rates), floor, 1.0)
+        res = -np.log(r)  # (M-1,) resistance per gap
+        c = np.concatenate([[0.0], np.cumsum(res)])
+        targets = np.linspace(0.0, c[-1], M)
+        logt = np.interp(targets, c, np.log(temps))
+        temps = np.exp(logt)
+    if not asc:
+        temps = temps[::-1]
+    return jnp.asarray(temps, jnp.float32), np.asarray(pair_rates)
 
 
 def geometric_ladder(t_min, t_max, num):

@@ -66,3 +66,73 @@ class TestParallelTempering:
         )(states, keys)
         assert outs.shape == (5, 4, 9)
         assert set(np.unique(np.asarray(outs))) <= {-1.0, 1.0}
+
+
+class TestQuantumPT:
+    def test_gamma_ladder_marginals_match_extended_gibbs(self, rng):
+        """Each Gamma rung must sample its own exact extended-Gibbs measure
+        (the kinetic-term exchange rule preserves the product measure)."""
+        from tests.test_qmc import extended_energy
+
+        prob = IsingProblem.from_edges(2, [0], [1], [0.9], maxnb=1)
+        slices, temp, b = 2, 0.8, 1.0
+        teff = temp * slices
+        gammas = jnp.asarray([0.4, 0.9, 1.8])
+        M = gammas.shape[0]
+
+        states = []
+        for bits in range(16):
+            s = np.array([(bits >> i) & 1 for i in range(4)]) * 2 - 1
+            states.append(s.reshape(2, 2).astype(np.float32))
+        states = jnp.asarray(np.stack(states))
+        exact_mean = []
+        for g in np.asarray(gammas):
+            es = np.asarray(extended_energy(prob, states, temp, float(g), b=b))
+            w = np.exp(-es / teff)
+            exact_mean.append(float((w * es).sum() / w.sum()))
+
+        key = jax.random.key(3)
+        confs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (M, slices, 2)), 1.0, -1.0
+        )
+        # run in chunks, measuring the extended energy per rung at chunk
+        # ends (samples 12 sweeps apart are still autocorrelated on this
+        # tiny system — tolerance reflects the effective sample size)
+        samples = [[] for _ in range(M)]
+        nchunks, chunk = 500, 12
+        for c in range(nchunks):
+            key, kr = jax.random.split(key)
+            confs, rate = pt.sample_piqmc(
+                prob, gammas, temp, confs, kr, chunk, b=b, swap_every=2
+            )
+            if c >= nchunks // 10:
+                for m, g in enumerate(np.asarray(gammas)):
+                    samples[m].append(
+                        float(extended_energy(prob, confs[m], temp, float(g), b=b))
+                    )
+        assert float(rate) > 0.05, "no gamma exchange happening"
+        for m in range(M):
+            emp = np.mean(samples[m])
+            se = np.std(samples[m]) / np.sqrt(len(samples[m]) / 4.0)
+            assert abs(emp - exact_mean[m]) < 4.0 * se, (
+                m, emp, exact_mean[m], se,
+            )
+
+    def test_tune_ladder_equalizes_pair_rates(self, rng):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        temps0 = pt.geometric_ladder(0.15, 3.0, 10)
+        key = jax.random.key(5)
+        # baseline pair rates on the untuned ladder
+        states = sa.random_state(key, 16, batch=(10,))
+        _, _, pr0 = pt.sample(prob, temps0, states, key, 400,
+                              per_pair_rates=True)
+        temps, pr = pt.tune_ladder(prob, temps0, key, rounds=4,
+                                   sweeps_per_round=400)
+        pr0, pr = np.asarray(pr0), np.asarray(pr)
+        # endpoints pinned, ladder monotone
+        assert np.isclose(float(temps[0]), float(temps0[0]), rtol=1e-5)
+        assert np.isclose(float(temps[-1]), float(temps0[-1]), rtol=1e-5)
+        assert np.all(np.diff(np.asarray(temps)) > 0)
+        # tuning must tighten the spread of per-pair acceptance
+        assert pr.std() < pr0.std(), (pr0, pr)
+        assert pr.min() > pr0.min() - 0.02
