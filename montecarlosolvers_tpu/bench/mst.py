@@ -77,10 +77,12 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     compile count for very long anneals.
 
     With `cache_prefix`, each finished chunk is checkpointed to
-    `<cache_prefix>.chunk<i>.npz` and skipped on re-run, so a long point
-    (tau = 6e6 at P = 40 is ~45 min of device time) survives process
-    restarts; `deadline` (absolute time.time()) raises BudgetExceeded
-    before starting a chunk that would overrun it.
+    `<cache_prefix>.chunk<i>.npz` and skipped on re-run (cache entries are
+    validated against the current chunk size), so a long point (tau = 6e6
+    at P = 40 is ~45 min of device time) survives process restarts;
+    `deadline` (absolute time.time()) raises BudgetExceeded before
+    starting a chunk that — at the last computed chunk's measured cost —
+    would overrun it.
     """
     temp = pt / slices
     fieldstart = 3.0 if pt == 1 else 2.5
@@ -90,15 +92,26 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     )
     outs = []
     done = 0
+    chunk_cost = 0.0  # measured seconds per computed chunk (this point)
     while done < reps:
         n = min(chunk, reps - done)
         part = f"{cache_prefix}.chunk{done}.npz" if cache_prefix else None
         if part and os.path.exists(part):
-            outs.append(np.load(part)["energies"])
+            cached = np.load(part)["energies"]
+            if cached.shape[0] != n:
+                raise ValueError(
+                    f"{part} holds {cached.shape[0]} energies, expected {n}"
+                    " — was this point started with a different chunk size"
+                    " or reps? Delete the stale .chunk files to recompute."
+                )
+            outs.append(cached)
             done += n
             continue
-        if deadline is not None and time.time() > deadline:
+        # stop if the deadline has passed OR the next chunk (estimated at
+        # the last computed chunk's cost) would overrun it
+        if deadline is not None and time.time() + chunk_cost > deadline:
             raise BudgetExceeded(f"{cache_prefix} at chunk {done}/{reps}")
+        t_chunk = time.time()
         kc = jax.random.fold_in(key, done)
         k1, k2, k3 = jax.random.split(kc, 3)
         s0 = sa.random_state(k1, problem.nspins, batch=(n,))
@@ -115,6 +128,7 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
             np.savez(part, energies=es)
         outs.append(es)
         done += n
+        chunk_cost = time.time() - t_chunk
     return np.concatenate(outs)
 
 
@@ -207,12 +221,10 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
         if not complete:
             break
 
-    with open(os.path.join(outdir, "summary.json"), "w") as f:
-        json.dump(
-            {k: {"tau": v[0].tolist(), "eps": v[1].tolist()}
-             for k, v in results.items()},
-            f, indent=2,
-        )
+    # rebuild the summary from ALL point files on disk — writing only the
+    # arms visited this invocation would discard previously completed arms
+    # after a budget-exhausted partial pass
+    summarize_dir(outdir, nspins, e_gs, exps=exps)
     return results, complete
 
 

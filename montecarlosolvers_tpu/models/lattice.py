@@ -65,8 +65,15 @@ class LatticeProblem:
     num_colors = 2
 
     @classmethod
-    def from_planes(cls, j_right, j_down, h=None):
-        col_wrap = bool(np.any(np.asarray(j_right)[:, -1] != 0.0))
+    def from_planes(cls, j_right, j_down, h=None, col_wrap=None):
+        """col_wrap: pass explicitly when the planes are JAX tracers (it
+        must be static); with concrete planes it is detected. The default
+        under tracing is True — always correct, two extra stencil slots."""
+        if col_wrap is None:
+            if isinstance(j_right, jax.core.Tracer):
+                col_wrap = True
+            else:
+                col_wrap = bool(np.any(np.asarray(j_right)[:, -1] != 0.0))
         j_right = jnp.asarray(j_right, dtype=jnp.float32)
         L = j_right.shape[0]
         if h is None:

@@ -238,7 +238,10 @@ def tune_ladder(problem, temps, key, rounds=4, sweeps_per_round=200,
             problem, jnp.asarray(temps, jnp.float32), states, kr,
             sweeps_per_round, per_pair_rates=True,
         )
-        r = np.clip(np.asarray(pair_rates), floor, 1.0)
+        # clip away from BOTH ends: rate == 1.0 would give zero resistance
+        # everywhere and np.interp over a constant cumsum would collapse
+        # the whole ladder onto t_max
+        r = np.clip(np.asarray(pair_rates), floor, 1.0 - floor)
         res = -np.log(r)  # (M-1,) resistance per gap
         c = np.concatenate([[0.0], np.cumsum(res)])
         targets = np.linspace(0.0, c[-1], M)

@@ -124,3 +124,31 @@ class TestSolversOnLattice:
             global_moves=True,
         )
         assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
+class TestTracedConstruction:
+    def test_from_planes_under_jit(self):
+        """from_planes must stay traceable (col_wrap falls back to the
+        conservative True for tracers, or can be passed explicitly)."""
+        import jax
+
+        L = 4
+        jr = np.random.default_rng(0).normal(size=(L, L)).astype(np.float32)
+        jd = np.random.default_rng(1).normal(size=(L, L)).astype(np.float32)
+
+        @jax.jit
+        def energy_of(jr, jd, s):
+            prob = LatticeProblem.from_planes(jr, jd)
+            return prob.energy(s)
+
+        s = jnp.ones(L * L)
+        e_traced = float(energy_of(jr, jd, s))
+        e_eager = float(LatticeProblem.from_planes(jr, jd).energy(s))
+        assert np.isclose(e_traced, e_eager, atol=1e-4)
+
+        @jax.jit
+        def energy_explicit(jr, jd, s):
+            prob = LatticeProblem.from_planes(jr, jd, col_wrap=False)
+            return prob.energy(s)
+
+        assert np.isclose(float(energy_explicit(jr, jd, s)), e_eager, atol=1e-4)

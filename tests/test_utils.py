@@ -146,3 +146,16 @@ class TestValidateState:
             validate_state(np.array([1.0, 0.5]), "ising")
         with _pytest.raises(ValueError):
             validate_state(np.array([4.0]), "angles")
+
+    def test_stale_chunk_cache_raises(self, rng, tmp_path):
+        """A chunk file whose length doesn't match the current chunk size
+        must fail loudly, not silently mis-assemble the energy array."""
+        import pytest
+        from montecarlosolvers_tpu.bench import mst
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        prefix = str(tmp_path / "pt_tau20")
+        np.savez(f"{prefix}.chunk0.npz", energies=np.zeros(3))  # stale: 3
+        with pytest.raises(ValueError, match="different chunk size"):
+            mst.piqmc_arm(prob, 20, 4, jax.random.key(0), slices=4,
+                          chunk=4, cache_prefix=prefix)
