@@ -54,6 +54,10 @@ def _finalize(problem, states, info, energies=None):
 _METHOD_KW = {
     "sa": {"t_start", "t_end"},
     "piqmc": {"slices", "pt", "field_start", "pre_anneal"},
+    "piqmc_wolff": {"slices", "pt", "field_start", "pre_anneal", "rule",
+                    "alpha"},
+    "piqmc_sw": {"slices", "pt", "field_start", "pre_anneal", "alpha",
+                 "per_slice_seeds"},
     "svmc": {"field_start", "temp"},
     "pt": {"t_min", "t_max", "ladder"},
 }
@@ -66,6 +70,11 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
       "sa"    — classical simulated annealing; kw: t_start=3.0, t_end=0.0.
       "piqmc" — MST path-integral QMC with global moves; kw: slices=20,
                 pt=1.0, field_start=3.0, pre_anneal=True.
+      "piqmc_wolff" — PIQMC with Wolff cluster updates (one space-time
+                cluster per sweep); kw: piqmc's + rule="local"|"full",
+                alpha (bath coupling; adds bath bonds when set).
+      "piqmc_sw" — dissipative PIQMC with SW bath clusters; kw: piqmc's
+                + alpha=1e-3, per_slice_seeds=True.
       "svmc"  — spin-vector MC with TF proposals; kw: field_start=3.0,
                 temp=0.05.
       "pt"    — parallel tempering; kw: t_min=0.1, t_max=3.0, ladder=16
@@ -93,7 +102,7 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         out = sa_mod.anneal(problem, sched, s0, k_run)
         return _finalize(problem, out, info)
 
-    if method == "piqmc":
+    if method in ("piqmc", "piqmc_wolff", "piqmc_sw"):
         slices = kw.get("slices", 20)
         pt = kw.get("pt", 1.0)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -108,8 +117,25 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         confs = qmc_mod.replicate(s0, slices)
         a = schedules.transverse_field(kw.get("field_start", 3.0), 1e-8,
                                        sweeps)
-        confs = qmc_mod.anneal(problem, a, jnp.ones_like(a), pt / slices,
-                               confs, k3, global_moves=True)
+        b = jnp.ones_like(a)
+        if method == "piqmc":
+            confs = qmc_mod.anneal(problem, a, b, pt / slices, confs, k3,
+                                   global_moves=True)
+        elif method == "piqmc_wolff":
+            lut = (
+                schedules.bath_lookuptable(slices, kw["alpha"])
+                if "alpha" in kw else None
+            )
+            confs = qmc_mod.anneal_wolff(
+                problem, a, b, pt / slices, confs, k3,
+                rule=kw.get("rule", "local"), lookuptable=lut,
+            )
+        else:  # piqmc_sw
+            lut = schedules.bath_lookuptable(slices, kw.get("alpha", 1e-3))
+            confs = qmc_mod.anneal_sw_bath(
+                problem, a, b, pt / slices, lut, confs, k3,
+                per_slice_seeds=kw.get("per_slice_seeds", True),
+            )
         # best slice per read; energies already known — skip re-evaluation
         es = np.asarray(problem.energy(confs))  # (reads, P)
         best_k = es.argmin(axis=-1)

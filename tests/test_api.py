@@ -16,10 +16,14 @@ def prob():
 
 
 class TestSolve:
-    @pytest.mark.parametrize("method", ["sa", "piqmc", "svmc", "pt"])
+    @pytest.mark.parametrize(
+        "method", ["sa", "piqmc", "piqmc_wolff", "piqmc_sw", "svmc", "pt"]
+    )
     def test_methods_reach_ground_state(self, prob, method):
         e_gs, _ = brute_force_ground(prob)
-        kw = dict(slices=6) if method == "piqmc" else {}
+        kw = dict(slices=6) if method.startswith("piqmc") else {}
+        if method == "piqmc_sw":
+            kw["alpha"] = 1e-3
         if method == "pt":
             kw = dict(ladder=6)
         res = solve(prob, method=method, num_reads=16, sweeps=400, seed=1, **kw)
