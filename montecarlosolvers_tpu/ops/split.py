@@ -237,6 +237,59 @@ def sa_anneal_split(problem, temps, spins, key, collect_energy=False):
     return unpack_classical(sl, a, b), es
 
 
+# ---------------------------------------------------------------------- SVMC
+
+
+def svmc_split_sweep(sl, a, b, key, temp, a_coeff, b_coeff, tf=False):
+    """One maskless SVMC sweep on split angle halves (the split form of
+    ops/svmc_ops.svmc_sweep; dE per svmc.pyx:96-110)."""
+    from montecarlosolvers_tpu.ops import svmc_ops
+
+    kpa, kaa, kpb, kab = jax.random.split(key, 4)
+
+    def half(th, other, w, h, kp, kc):
+        u_p = jax.random.uniform(kp, th.shape)
+        u_c = jax.random.uniform(kc, th.shape)
+        prop = (
+            svmc_ops.propose_tf(th, u_p, a_coeff, b_coeff)
+            if tf else svmc_ops.propose_uniform(u_p)
+        )
+        zf = _spatial_field(w, jnp.cos(other), sl.K) + h
+        de = b_coeff * (jnp.cos(prop) - jnp.cos(th)) * zf
+        de = de + a_coeff * (jnp.sin(th) - jnp.sin(prop))
+        return jnp.where(metropolis_accept(de, temp, u_c), prop, th)
+
+    a = half(a, b, sl.w_ab[:, 0], sl.h_ab[0], kpa, kaa)
+    b = half(b, a, sl.w_ab[:, 1], sl.h_ab[1], kpb, kab)
+    return a, b
+
+
+def svmc_anneal_split(problem, a_sched, b_sched, temp, theta, key, tf=False,
+                      collect_energy=False):
+    """Split-layout SVMC anneal scan — fast inner engine for
+    solvers.svmc.anneal on even-L lattices."""
+    from montecarlosolvers_tpu.ops import svmc_ops
+
+    sl = build_split(problem)
+    a, b = pack_classical(sl, theta)
+    keys = jax.random.split(key, a_sched.shape[0])
+
+    def body(carry, x):
+        a, b = carry
+        ac, bc, k = x
+        a, b = svmc_split_sweep(sl, a, b, k, temp, ac, bc, tf=tf)
+        e = (
+            classical_energy_split(
+                sl, svmc_ops.z_projection(a), svmc_ops.z_projection(b)
+            )
+            if collect_energy else None
+        )
+        return (a, b), e
+
+    (a, b), es = jax.lax.scan(body, (a, b), (a_sched, b_sched, keys))
+    return unpack_classical(sl, a, b), es
+
+
 # --------------------------------------------------------------------- PIQMC
 #
 # State = four quarter-volume arrays, each (..., P/2, Nh), indexed by the

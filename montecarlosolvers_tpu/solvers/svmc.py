@@ -34,8 +34,21 @@ def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
     collect_energy emits per-sweep z-projected classical energies.
     Returns the annealed angles; project with ops.svmc_ops.z_projection.
     """
+    from montecarlosolvers_tpu.ops import split as split_ops
+
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+
+    if split_ops.supports_split(problem):
+        # even-L lattices: maskless split-checkerboard engine (ops/split.py)
+        theta, es = split_ops.svmc_anneal_split(
+            problem, a, b, temp, theta, key, tf=tf,
+            collect_energy=collect_energy,
+        )
+        if collect_energy:
+            return theta, es
+        return theta
+
     keys = jax.random.split(key, a.shape[0])
 
     def body(th, x):

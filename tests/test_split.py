@@ -346,3 +346,93 @@ class TestSolverDispatch:
         x = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key)
         y = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key)
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestSVMCSplit:
+    def test_svmc_split_samples_rotor_gibbs(self):
+        """The maskless split SVMC sweep must sample the continuous rotor
+        Gibbs density of a 2x2 lattice (quadrature oracle on [0,pi]^4)."""
+        from montecarlosolvers_tpu.ops import svmc_ops
+        from montecarlosolvers_tpu.solvers import svmc
+
+        lat = _lat(2, np.random.default_rng(31))
+        sl = sp.build_split(lat)
+        A, B, temp = 0.6, 1.0, 0.7
+
+        jr = np.asarray(lat.j_right)
+        jd = np.asarray(lat.j_down)
+        # open 2x2: bonds (0,1) jr[0,0], (2,3) jr[1,0], (0,2) jd[0,0],
+        # (1,3) jd[0,1]
+        g = np.linspace(0, np.pi, 41)
+        T = np.meshgrid(g, g, g, g, indexing="ij")
+        c = [np.cos(t) for t in T]
+        s = [np.sin(t) for t in T]
+        E = B * (jr[0, 0] * c[0] * c[1] + jr[1, 0] * c[2] * c[3]
+                 + jd[0, 0] * c[0] * c[2] + jd[0, 1] * c[1] * c[3])
+        E = E - A * (s[0] + s[1] + s[2] + s[3])
+        W = np.exp((E.min() - E) / temp)
+        e_exact = float((W * E).sum() / W.sum())
+        c0_exact = float((W * c[0]).sum() / W.sum())
+
+        chains, nsweeps, burn = 256, 800, 200
+        key = jax.random.key(0)
+        th = svmc.random_state(key, 4, batch=(chains,))
+        a0, b0 = sp.pack_classical(sl, th)
+
+        @jax.jit
+        def run(a, b, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(carry, k):
+                a, b = carry
+                a, b = sp.svmc_split_sweep(sl, a, b, k, temp, A, B)
+                th = sp.unpack_classical(sl, a, b)
+                ct = jnp.cos(th)
+                e = (
+                    B * (jr[0, 0] * ct[:, 0] * ct[:, 1]
+                         + jr[1, 0] * ct[:, 2] * ct[:, 3]
+                         + jd[0, 0] * ct[:, 0] * ct[:, 2]
+                         + jd[0, 1] * ct[:, 1] * ct[:, 3])
+                    - A * jnp.sum(jnp.sin(th), axis=-1)
+                )
+                return (a, b), (e, ct[:, 0])
+
+            _, (es, cs) = jax.lax.scan(body, (a, b), keys)
+            return es, cs
+
+        es, cs = run(a0, b0, jax.random.key(1))
+        es = np.asarray(es)[burn:]
+        cs = np.asarray(cs)[burn:]
+        assert abs(es.mean() - e_exact) < 0.03, (es.mean(), e_exact)
+        assert abs(cs.mean() - c0_exact) < 0.03, (cs.mean(), c0_exact)
+
+    def test_svmc_solver_dispatches_to_split_and_finds_ground(self, rng):
+        lat = _lat(4, rng)
+        e_gs, _ = brute_force_ground(lat)
+        from montecarlosolvers_tpu.solvers import svmc
+
+        key = jax.random.key(7)
+        th = svmc.random_state(key, lat.nspins, batch=(32,))
+        a = schedules.linear(2.5, 1e-8, 600)
+        out = svmc.anneal(lat, a, jnp.ones_like(a), 0.05, th, key, tf=True)
+        es = np.asarray(lat.energy(svmc.z_projection(out)))
+        assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
+        o = np.asarray(out)
+        assert o.min() >= 0.0 and o.max() <= np.pi + 1e-6
+
+    def test_svmc_split_collect_energy(self, rng):
+        lat = _lat(4, rng)
+        from montecarlosolvers_tpu.solvers import svmc
+
+        key = jax.random.key(8)
+        th = svmc.random_state(key, lat.nspins, batch=(3,))
+        a = schedules.linear(2.0, 1e-8, 25)
+        out, es = svmc.anneal(
+            lat, a, jnp.ones_like(a), 0.1, th, key, collect_energy=True
+        )
+        assert es.shape == (25, 3)
+        assert np.allclose(
+            np.asarray(es[-1]),
+            np.asarray(lat.energy(svmc.z_projection(out))),
+            atol=1e-4,
+        )
