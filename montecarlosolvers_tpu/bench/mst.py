@@ -20,6 +20,7 @@ TPU-native re-design of the reference's experiment driver
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -166,6 +167,8 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
         energies = fn()
         eps = float((energies.mean() - e_gs) / nspins)
         np.savez(path, energies=energies, eps=eps)
+        for part in glob.glob(os.path.join(outdir, f"{name}.chunk*.npz")):
+            os.remove(part)  # chunk checkpoints are subsumed by the point
         return eps, True
 
     complete = True
