@@ -1,0 +1,130 @@
+"""Color-packed maskless sweep engine for arbitrary graphs.
+
+`colored_metropolis_sweep` (ops/metropolis.py) computes the full
+local-field tensor and evaluates the acceptance transcendentals for every
+site in every color phase, then masks out the inactive colors — for a
+greedy-colored sparse graph (chimera: 3 classes, random graphs: up to
+maxdeg+1) that throws away (c-1)/c of the gather, FMA, and accept work.
+This module permutes the state class-major ONCE per anneal so each phase
+updates one contiguous block with no masks: per-sweep field/accept work
+drops from c*N to N (the reference pays the same N via its sequential
+visit order, sa.pyx:81-99 — this is the parallel layout that matches it).
+
+The lattice analog is ops/split.py (which also kills the gathers via roll
+stencils); this engine is the fast path for IsingProblem graphs that have
+no lattice structure. The masked engine remains as the oracle and the
+traced-problem fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedGraph:
+    """Class-major permutation of an IsingProblem.
+
+    nbr_idx / nbr_J: (N, maxnb) neighbor tables with BOTH rows and index
+      targets remapped into packed order (padding self-slots stay
+      self-referential with J = 0).
+    h: (N,) fields in packed order.
+    perm: packed position i holds original site perm[i] (static).
+    starts: class block boundaries (c+1 entries, static); block k =
+      packed[starts[k]:starts[k+1]] is one independent set.
+    """
+
+    nbr_idx: jax.Array
+    nbr_J: jax.Array
+    h: jax.Array
+    perm: tuple = dataclasses.field(metadata=dict(static=True))
+    starts: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def supports_packed(problem):
+    """True for concrete (non-traced) IsingProblem-style padded-gather
+    problems with a usable coloring."""
+    from montecarlosolvers_tpu.models.ising import IsingProblem
+
+    return (
+        type(problem) is IsingProblem
+        and not isinstance(problem.nbr_idx, jax.core.Tracer)
+    )
+
+
+def build_packed(problem):
+    colors = np.argmax(np.asarray(problem.color_masks), axis=0)  # (N,)
+    perm = np.argsort(colors, kind="stable")
+    inv = np.argsort(perm)
+    nbr_idx = inv[np.asarray(problem.nbr_idx)[perm]]
+    counts = np.bincount(colors, minlength=problem.num_colors)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    return PackedGraph(
+        nbr_idx=jnp.asarray(nbr_idx, jnp.int32),
+        nbr_J=jnp.asarray(np.asarray(problem.nbr_J)[perm], jnp.float32),
+        h=jnp.asarray(np.asarray(problem.h)[perm], jnp.float32),
+        perm=tuple(perm.tolist()),
+        starts=tuple(int(x) for x in starts),
+    )
+
+
+def pack_state(pg, spins):
+    return jnp.take(spins, jnp.asarray(pg.perm), axis=-1)
+
+
+def unpack_state(pg, spins):
+    inv = jnp.asarray(np.argsort(np.asarray(pg.perm)))
+    return jnp.take(spins, inv, axis=-1)
+
+
+def packed_energy(pg, spins):
+    """Classical energy in packed space: each bond appears in both
+    endpoints' field rows, hence the half factor on the coupling part."""
+    nb = jnp.take(spins, pg.nbr_idx, axis=-1)
+    coupling_field = jnp.sum(pg.nbr_J * nb, axis=-1)
+    return (
+        0.5 * jnp.sum(spins * coupling_field, axis=-1)
+        + jnp.sum(pg.h * spins, axis=-1)
+    )
+
+
+def packed_sweep(pg, spins, key, temp, b_coeff=-2.0):
+    """One full maskless Metropolis sweep over the class blocks.
+    spins: (..., N) in PACKED order."""
+    u = jax.random.uniform(key, spins.shape)
+    for k in range(len(pg.starts) - 1):
+        lo, hi = pg.starts[k], pg.starts[k + 1]
+        if lo == hi:
+            continue
+        s_blk = spins[..., lo:hi]
+        nb = jnp.take(spins, pg.nbr_idx[lo:hi], axis=-1)  # (..., nk, maxnb)
+        field = jnp.sum(pg.nbr_J[lo:hi] * nb, axis=-1) + pg.h[lo:hi]
+        de = b_coeff * s_blk * field
+        acc = metropolis_accept(de, temp, u[..., lo:hi])
+        spins = spins.at[..., lo:hi].set(jnp.where(acc, -s_blk, s_blk))
+    return spins
+
+
+def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
+    """Anneal scan on the packed layout — drop-in inner engine for
+    solvers.sa.anneal on concrete IsingProblem graphs."""
+    pg = build_packed(problem)
+    s = pack_state(pg, spins)
+    temps = jnp.asarray(temps)
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, k = x
+        s = packed_sweep(pg, s, k, t)
+        e = packed_energy(pg, s) if collect_energy else None
+        return s, e
+
+    s, es = jax.lax.scan(body, s, (temps, keys))
+    return unpack_state(pg, s), es

@@ -60,11 +60,19 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
                             collect_energy=collect_energy)
 
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    from montecarlosolvers_tpu.ops import packed as packed_ops
+
     if split_ops.supports_split(problem):
         # even-L lattices take the split-checkerboard engine
         # (ops/split.py): maskless half-array phases, zero lane padding
         spins, es = split_ops.sa_anneal_split(
             problem, temps, spins, key, collect_energy=collect_energy
+        )
+    elif packed_ops.supports_packed(problem):
+        # arbitrary graphs: class-major packed layout (ops/packed.py) —
+        # maskless block phases, no per-color wasted field/accept work
+        spins, es = packed_ops.packed_sweep_scan(
+            problem, spins, key, temps, collect_energy=collect_energy
         )
     else:
         spins, es = sweep_scan(
