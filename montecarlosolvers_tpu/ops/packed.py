@@ -112,6 +112,54 @@ def packed_sweep(pg, spins, key, temp, b_coeff=-2.0):
     return spins
 
 
+def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False):
+    """One maskless SVMC sweep over the class blocks (rotor dE per
+    svmc.pyx:96-110). theta: (..., N) angles in PACKED order."""
+    from montecarlosolvers_tpu.ops import svmc_ops
+
+    ku, ka = jax.random.split(key)
+    u_prop = jax.random.uniform(ku, theta.shape)
+    u_acc = jax.random.uniform(ka, theta.shape)
+    for k in range(len(pg.starts) - 1):
+        lo, hi = pg.starts[k], pg.starts[k + 1]
+        if lo == hi:
+            continue
+        th_blk = theta[..., lo:hi]
+        up = u_prop[..., lo:hi]
+        prop = (
+            svmc_ops.propose_tf(th_blk, up, a_coeff, b_coeff)
+            if tf else svmc_ops.propose_uniform(up)
+        )
+        cos_all = jnp.cos(theta)
+        nb = jnp.take(cos_all, pg.nbr_idx[lo:hi], axis=-1)
+        zfield = jnp.sum(pg.nbr_J[lo:hi] * nb, axis=-1) + pg.h[lo:hi]
+        de = b_coeff * (jnp.cos(prop) - jnp.cos(th_blk)) * zfield
+        de = de + a_coeff * (jnp.sin(th_blk) - jnp.sin(prop))
+        acc = metropolis_accept(de, temp, u_acc[..., lo:hi])
+        theta = theta.at[..., lo:hi].set(jnp.where(acc, prop, th_blk))
+    return theta
+
+
+def packed_svmc_scan(problem, a_sched, b_sched, temp, theta, key, tf=False,
+                     collect_energy=False):
+    """SVMC anneal scan on the packed layout — inner engine for
+    solvers.svmc.anneal on concrete IsingProblem graphs."""
+    from montecarlosolvers_tpu.ops.svmc_ops import z_projection
+
+    pg = build_packed(problem)
+    th = pack_state(pg, theta)
+    keys = jax.random.split(key, a_sched.shape[0])
+
+    def body(th, x):
+        ac, bc, k = x
+        th = packed_svmc_sweep(pg, th, k, temp, ac, bc, tf=tf)
+        e = packed_energy(pg, z_projection(th)) if collect_energy else None
+        return th, e
+
+    th, es = jax.lax.scan(body, th, (a_sched, b_sched, keys))
+    return unpack_state(pg, th), es
+
+
 def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
     """Anneal scan on the packed layout — drop-in inner engine for
     solvers.sa.anneal on concrete IsingProblem graphs."""

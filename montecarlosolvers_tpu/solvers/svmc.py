@@ -35,6 +35,7 @@ def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
     Returns the annealed angles; project with ops.svmc_ops.z_projection.
     """
     from montecarlosolvers_tpu.ops import split as split_ops
+    from montecarlosolvers_tpu.ops import packed as packed_ops
 
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
@@ -42,6 +43,16 @@ def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
     if split_ops.supports_split(problem):
         # even-L lattices: maskless split-checkerboard engine (ops/split.py)
         theta, es = split_ops.svmc_anneal_split(
+            problem, a, b, temp, theta, key, tf=tf,
+            collect_energy=collect_energy,
+        )
+        if collect_energy:
+            return theta, es
+        return theta
+
+    if packed_ops.supports_packed(problem):
+        # arbitrary graphs: class-major packed layout (ops/packed.py)
+        theta, es = packed_ops.packed_svmc_scan(
             problem, a, b, temp, theta, key, tf=tf,
             collect_energy=collect_energy,
         )

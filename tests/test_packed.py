@@ -147,3 +147,69 @@ class TestDispatch:
             np.asarray(sa.anneal(prob, sched, s0, key)),
             np.asarray(sa.anneal(prob, sched, s0, key)),
         )
+
+
+class TestPackedSVMC:
+    def test_svmc_rotor_gibbs_two_spins(self):
+        """Packed SVMC phases must sample the continuous rotor Gibbs
+        density (quadrature oracle, same setup as test_svmc's)."""
+        from montecarlosolvers_tpu.ops import svmc_ops
+
+        J, h0, h1, A, B, temp = 0.8, 0.3, -0.4, 0.6, 1.0, 0.7
+        prob = IsingProblem.from_edges(
+            2, [0, 0, 1], [1, 0, 1], [J, h0, h1], maxnb=2
+        )
+        pg = pk.build_packed(prob)
+
+        def energy(t0, t1):
+            return (
+                B * (J * np.cos(t0) * np.cos(t1)
+                     + h0 * np.cos(t0) + h1 * np.cos(t1))
+                - A * (np.sin(t0) + np.sin(t1))
+            )
+
+        g = np.linspace(0, np.pi, 301)
+        T0, T1 = np.meshgrid(g, g, indexing="ij")
+        E = energy(T0, T1)
+        W = np.exp((E.min() - E) / temp)
+        e_exact = float((W * E).sum() / W.sum())
+
+        chains, nsweeps, burn = 256, 600, 150
+        from montecarlosolvers_tpu.solvers import svmc
+
+        th0 = pk.pack_state(
+            pg, svmc.random_state(jax.random.key(0), 2, batch=(chains,))
+        )
+        inv = jnp.asarray(np.argsort(np.asarray(pg.perm)))
+
+        @jax.jit
+        def run(th, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(th, k):
+                th = pk.packed_svmc_sweep(pg, th, k, temp, A, B)
+                o = jnp.take(th, inv, axis=-1)
+                e = (
+                    B * (J * jnp.cos(o[:, 0]) * jnp.cos(o[:, 1])
+                         + h0 * jnp.cos(o[:, 0]) + h1 * jnp.cos(o[:, 1]))
+                    - A * (jnp.sin(o[:, 0]) + jnp.sin(o[:, 1]))
+                )
+                return th, e
+
+            _, es = jax.lax.scan(body, th, keys)
+            return es
+
+        es = np.asarray(run(th0, jax.random.key(1)))[burn:]
+        assert abs(es.mean() - e_exact) < 0.03, (es.mean(), e_exact)
+
+    def test_svmc_solver_dispatch_ground_state(self, rng):
+        from montecarlosolvers_tpu.solvers import svmc
+
+        prob = _graph(rng, n=12, m=20)
+        e_gs, _ = brute_force_ground(prob)
+        key = jax.random.key(9)
+        th = svmc.random_state(key, prob.nspins, batch=(32,))
+        a = schedules.linear(2.5, 1e-8, 600)
+        out = svmc.anneal(prob, a, jnp.ones_like(a), 0.05, th, key, tf=True)
+        es = np.asarray(prob.energy(svmc.z_projection(out)))
+        assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
