@@ -160,6 +160,42 @@ def packed_svmc_scan(problem, a_sched, b_sched, temp, theta, key, tf=False,
     return unpack_state(pg, th), es
 
 
+def packed_noisy_sweep(pg, nbr_J_t, h_t, spins, key, temp):
+    """Maskless sweep with per-step coupling tables in PACKED row order
+    (NoisyAnneal semantics, sa.pyx:291-378). The graph structure (and so
+    pg.nbr_idx) is fixed; only the values vary per step."""
+    u = jax.random.uniform(key, spins.shape)
+    for k in range(len(pg.starts) - 1):
+        lo, hi = pg.starts[k], pg.starts[k + 1]
+        if lo == hi:
+            continue
+        s_blk = spins[..., lo:hi]
+        nb = jnp.take(spins, pg.nbr_idx[lo:hi], axis=-1)
+        field = jnp.sum(nbr_J_t[lo:hi] * nb, axis=-1) + h_t[lo:hi]
+        de = -2.0 * s_blk * field
+        acc = metropolis_accept(de, temp, u[..., lo:hi])
+        spins = spins.at[..., lo:hi].set(jnp.where(acc, -s_blk, s_blk))
+    return spins
+
+
+def packed_noisy_scan(problem, temps, nbr_J_sched, h_sched, spins, key):
+    """Noisy anneal scan on the packed layout: the coupling tables are
+    row-permuted once outside the scan."""
+    pg = build_packed(problem)
+    perm = jnp.asarray(pg.perm)
+    jt = jnp.take(jnp.asarray(nbr_J_sched), perm, axis=1)
+    ht = jnp.take(jnp.asarray(h_sched), perm, axis=1)
+    s = pack_state(pg, spins)
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, j, h, k = x
+        return packed_noisy_sweep(pg, j, h, s, k, t), None
+
+    s, _ = jax.lax.scan(body, s, (jnp.asarray(temps), jt, ht, keys))
+    return unpack_state(pg, s)
+
+
 def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
     """Anneal scan on the packed layout — drop-in inner engine for
     solvers.sa.anneal on concrete IsingProblem graphs."""

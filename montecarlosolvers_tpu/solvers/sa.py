@@ -93,9 +93,17 @@ def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
     The reference's 4-D nbs array (noise or control trajectory per step,
     sa.pyx:308-311) maps to these two scanned tables.
     """
+    from montecarlosolvers_tpu.ops import packed as packed_ops
+
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
     nbr_J_sched = jnp.repeat(nbr_J_sched, mcsteps, axis=0) if mcsteps > 1 else nbr_J_sched
     h_sched = jnp.repeat(h_sched, mcsteps, axis=0) if mcsteps > 1 else h_sched
+
+    if packed_ops.supports_packed(problem):
+        return packed_ops.packed_noisy_scan(
+            problem, temps, nbr_J_sched, h_sched, spins, key
+        )
+
     keys = jax.random.split(key, temps.shape[0])
 
     def body(s, x):

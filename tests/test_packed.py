@@ -213,3 +213,19 @@ class TestPackedSVMC:
         out = svmc.anneal(prob, a, jnp.ones_like(a), 0.05, th, key, tf=True)
         es = np.asarray(prob.energy(svmc.z_projection(out)))
         assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
+
+    def test_noisy_packed_finds_ground_state(self, rng):
+        """anneal_noisy dispatches to the packed engine; with constant
+        tables it must behave like a plain anneal."""
+        prob = _graph(rng, n=12, m=20)
+        e_gs, _ = brute_force_ground(prob)
+        steps = 400
+        jt = jnp.broadcast_to(prob.nbr_J, (steps,) + prob.nbr_J.shape)
+        ht = jnp.broadcast_to(prob.h, (steps,) + prob.h.shape)
+        key = jax.random.key(10)
+        s0 = sa.random_state(key, prob.nspins, batch=(16,))
+        out = sa.anneal_noisy(
+            prob, schedules.linear(3.0, 0.0, steps), jt, ht, s0, key
+        )
+        es = np.asarray(prob.energy(out))
+        assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
