@@ -196,6 +196,52 @@ def packed_noisy_scan(problem, temps, nbr_J_sched, h_sched, spins, key):
     return unpack_state(pg, s)
 
 
+def packed_noisy_svmc_scan(problem, a_sched, b_sched, temp, nbr_J_sched,
+                           h_sched, theta, key, tf=False):
+    """Noisy SVMC anneal on the packed layout (NoisySVMC/TF,
+    svmc.pyx:236-448): per-step tables row-permuted once outside the
+    scan."""
+    from montecarlosolvers_tpu.ops import svmc_ops
+
+    pg = build_packed(problem)
+    perm = jnp.asarray(pg.perm)
+    jts = jnp.take(jnp.asarray(nbr_J_sched), perm, axis=1)
+    hts = jnp.take(jnp.asarray(h_sched), perm, axis=1)
+    th = pack_state(pg, theta)
+    keys = jax.random.split(key, a_sched.shape[0])
+
+    def sweep(th, jt, ht, k, ac, bc):
+        ku, ka = jax.random.split(k)
+        u_prop = jax.random.uniform(ku, th.shape)
+        u_acc = jax.random.uniform(ka, th.shape)
+        for i in range(len(pg.starts) - 1):
+            lo, hi = pg.starts[i], pg.starts[i + 1]
+            if lo == hi:
+                continue
+            blk = th[..., lo:hi]
+            up = u_prop[..., lo:hi]
+            prop = (
+                svmc_ops.propose_tf(blk, up, ac, bc)
+                if tf else svmc_ops.propose_uniform(up)
+            )
+            nb = jnp.take(jnp.cos(th), pg.nbr_idx[lo:hi], axis=-1)
+            zf = jnp.sum(jt[lo:hi] * nb, axis=-1) + ht[lo:hi]
+            de = bc * (jnp.cos(prop) - jnp.cos(blk)) * zf
+            de = de + ac * (jnp.sin(blk) - jnp.sin(prop))
+            acc = metropolis_accept(de, temp, u_acc[..., lo:hi])
+            th = th.at[..., lo:hi].set(jnp.where(acc, prop, blk))
+        return th
+
+    def body(th, x):
+        ac, bc, jt, ht, k = x
+        return sweep(th, jt, ht, k, ac, bc), None
+
+    th, _ = jax.lax.scan(
+        body, th, (jnp.asarray(a_sched), jnp.asarray(b_sched), jts, hts, keys)
+    )
+    return unpack_state(pg, th)
+
+
 def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
     """Anneal scan on the packed layout — drop-in inner engine for
     solvers.sa.anneal on concrete IsingProblem graphs."""

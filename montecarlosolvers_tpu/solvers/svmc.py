@@ -82,11 +82,19 @@ def anneal_noisy(problem, a_sched, b_sched, temp, nbr_J_sched, h_sched,
                  theta, key, mcsteps=1, tf=False):
     """SVMC anneal with per-step couplings (NoisySVMC/NoisySVMCTF; the
     reference's 4-D time-dependent nbs array, svmc.pyx:255-264)."""
+    from montecarlosolvers_tpu.ops import packed as packed_ops
+
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
     if mcsteps > 1:
         nbr_J_sched = jnp.repeat(nbr_J_sched, mcsteps, axis=0)
         h_sched = jnp.repeat(h_sched, mcsteps, axis=0)
+
+    if packed_ops.supports_packed(problem):
+        return packed_ops.packed_noisy_svmc_scan(
+            problem, a, b, temp, nbr_J_sched, h_sched, theta, key, tf=tf
+        )
+
     keys = jax.random.split(key, a.shape[0])
 
     def body(th, x):
