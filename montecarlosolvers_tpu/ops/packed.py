@@ -12,19 +12,31 @@ visit order, sa.pyx:81-99 — this is the parallel layout that matches it).
 
 The lattice analog is ops/split.py (which also kills the gathers via roll
 stencils); this engine is the fast path for IsingProblem graphs that have
-no lattice structure. The masked engine remains as the oracle and the
-traced-problem fallback.
+no lattice structure. The masked engine remains as the oracle, the
+traced-problem fallback, and the many-color fallback (its fori color loop
+keeps program size O(1); the block loop here is unrolled, so the packed
+path is gated to MAX_PACKED_COLORS).
+
+Jit structure: building PackedGraph requires CONCRETE index arrays
+(np.argsort over the coloring), so the public scans build it eagerly and
+call jitted inner scans — solvers therefore dispatch OUTSIDE jit (the
+solver entry points are plain functions whose engine scans are jitted).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+
+# Beyond this many color classes the unrolled per-block loop bloats the
+# scan body (O(colors) HLO); the masked engine's fori loop handles those.
+MAX_PACKED_COLORS = 8
 
 
 @jax.tree_util.register_dataclass
@@ -50,12 +62,25 @@ class PackedGraph:
 
 def supports_packed(problem):
     """True for concrete (non-traced) IsingProblem-style padded-gather
-    problems with a usable coloring."""
+    problems whose coloring is small enough for unrolled block phases.
+
+    NOTE: inside a jit trace the index arrays are tracers and this returns
+    False — callers then fall back to the masked engine, which is correct
+    but slower. Solvers dispatch eagerly to keep this path live.
+    """
     from montecarlosolvers_tpu.models.ising import IsingProblem
 
     return (
         type(problem) is IsingProblem
-        and not isinstance(problem.nbr_idx, jax.core.Tracer)
+        # every leaf must be concrete: disorder sweeps vmap over coupling
+        # VALUES with shared topology, leaving nbr_idx concrete but nbr_J
+        # traced (tests/test_disorder.py)
+        and not any(
+            isinstance(x, jax.core.Tracer)
+            for x in (problem.nbr_idx, problem.nbr_J, problem.h,
+                      problem.color_masks)
+        )
+        and problem.num_colors <= MAX_PACKED_COLORS
     )
 
 
@@ -95,9 +120,17 @@ def packed_energy(pg, spins):
     )
 
 
-def packed_sweep(pg, spins, key, temp, b_coeff=-2.0):
+def _tables(pg, nbr_J, h):
+    return (pg.nbr_J if nbr_J is None else nbr_J,
+            pg.h if h is None else h)
+
+
+def packed_sweep(pg, spins, key, temp, b_coeff=-2.0, nbr_J=None, h=None):
     """One full maskless Metropolis sweep over the class blocks.
-    spins: (..., N) in PACKED order."""
+    spins: (..., N) in PACKED order. Optional (nbr_J, h) override the
+    static tables with per-step values in packed row order (NoisyAnneal
+    semantics, sa.pyx:291-378)."""
+    nbr_J, h = _tables(pg, nbr_J, h)
     u = jax.random.uniform(key, spins.shape)
     for k in range(len(pg.starts) - 1):
         lo, hi = pg.starts[k], pg.starts[k + 1]
@@ -105,21 +138,26 @@ def packed_sweep(pg, spins, key, temp, b_coeff=-2.0):
             continue
         s_blk = spins[..., lo:hi]
         nb = jnp.take(spins, pg.nbr_idx[lo:hi], axis=-1)  # (..., nk, maxnb)
-        field = jnp.sum(pg.nbr_J[lo:hi] * nb, axis=-1) + pg.h[lo:hi]
+        field = jnp.sum(nbr_J[lo:hi] * nb, axis=-1) + h[lo:hi]
         de = b_coeff * s_blk * field
         acc = metropolis_accept(de, temp, u[..., lo:hi])
         spins = spins.at[..., lo:hi].set(jnp.where(acc, -s_blk, s_blk))
     return spins
 
 
-def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False):
+def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False,
+                      nbr_J=None, h=None):
     """One maskless SVMC sweep over the class blocks (rotor dE per
-    svmc.pyx:96-110). theta: (..., N) angles in PACKED order."""
+    svmc.pyx:96-110). theta: (..., N) angles in PACKED order. A running
+    cos cache is updated per block, so the sweep pays ~2N cos total
+    instead of c*N."""
     from montecarlosolvers_tpu.ops import svmc_ops
 
+    nbr_J, h = _tables(pg, nbr_J, h)
     ku, ka = jax.random.split(key)
     u_prop = jax.random.uniform(ku, theta.shape)
     u_acc = jax.random.uniform(ka, theta.shape)
+    cos_all = jnp.cos(theta)
     for k in range(len(pg.starts) - 1):
         lo, hi = pg.starts[k], pg.starts[k + 1]
         if lo == hi:
@@ -130,23 +168,61 @@ def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False):
             svmc_ops.propose_tf(th_blk, up, a_coeff, b_coeff)
             if tf else svmc_ops.propose_uniform(up)
         )
-        cos_all = jnp.cos(theta)
         nb = jnp.take(cos_all, pg.nbr_idx[lo:hi], axis=-1)
-        zfield = jnp.sum(pg.nbr_J[lo:hi] * nb, axis=-1) + pg.h[lo:hi]
-        de = b_coeff * (jnp.cos(prop) - jnp.cos(th_blk)) * zfield
+        zfield = jnp.sum(nbr_J[lo:hi] * nb, axis=-1) + h[lo:hi]
+        cos_prop = jnp.cos(prop)
+        de = b_coeff * (cos_prop - cos_all[..., lo:hi]) * zfield
         de = de + a_coeff * (jnp.sin(th_blk) - jnp.sin(prop))
         acc = metropolis_accept(de, temp, u_acc[..., lo:hi])
         theta = theta.at[..., lo:hi].set(jnp.where(acc, prop, th_blk))
+        cos_all = cos_all.at[..., lo:hi].set(
+            jnp.where(acc, cos_prop, cos_all[..., lo:hi])
+        )
     return theta
 
 
-def packed_svmc_scan(problem, a_sched, b_sched, temp, theta, key, tf=False,
-                     collect_energy=False):
-    """SVMC anneal scan on the packed layout — inner engine for
-    solvers.svmc.anneal on concrete IsingProblem graphs."""
+# ------------------------------------------------------------ jitted scans
+#
+# build_packed needs concrete arrays; the scans below take the prebuilt
+# PackedGraph (a pytree with static perm/starts) and are jitted.
+
+
+@partial(jax.jit, static_argnames=("collect_energy",))
+def _sa_scan(pg, spins, key, temps, collect_energy=False):
+    s = pack_state(pg, spins)
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, k = x
+        s = packed_sweep(pg, s, k, t)
+        e = packed_energy(pg, s) if collect_energy else None
+        return s, e
+
+    s, es = jax.lax.scan(body, s, (temps, keys))
+    return unpack_state(pg, s), es
+
+
+@jax.jit
+def _noisy_scan(pg, temps, nbr_J_sched, h_sched, spins, key):
+    perm = jnp.asarray(pg.perm)
+    jts = jnp.take(nbr_J_sched, perm, axis=1)
+    hts = jnp.take(h_sched, perm, axis=1)
+    s = pack_state(pg, spins)
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, j, h, k = x
+        return packed_sweep(pg, s, k, t, nbr_J=j, h=h), None
+
+    s, _ = jax.lax.scan(body, s, (temps, jts, hts, keys))
+    return unpack_state(pg, s)
+
+
+@partial(jax.jit, static_argnames=("tf", "collect_energy"))
+def _svmc_scan(pg, a_sched, b_sched, temp, theta, key, tf=False,
+               collect_energy=False):
     from montecarlosolvers_tpu.ops.svmc_ops import z_projection
 
-    pg = build_packed(problem)
     th = pack_state(pg, theta)
     keys = jax.random.split(key, a_sched.shape[0])
 
@@ -160,101 +236,59 @@ def packed_svmc_scan(problem, a_sched, b_sched, temp, theta, key, tf=False,
     return unpack_state(pg, th), es
 
 
-def packed_noisy_sweep(pg, nbr_J_t, h_t, spins, key, temp):
-    """Maskless sweep with per-step coupling tables in PACKED row order
-    (NoisyAnneal semantics, sa.pyx:291-378). The graph structure (and so
-    pg.nbr_idx) is fixed; only the values vary per step."""
-    u = jax.random.uniform(key, spins.shape)
-    for k in range(len(pg.starts) - 1):
-        lo, hi = pg.starts[k], pg.starts[k + 1]
-        if lo == hi:
-            continue
-        s_blk = spins[..., lo:hi]
-        nb = jnp.take(spins, pg.nbr_idx[lo:hi], axis=-1)
-        field = jnp.sum(nbr_J_t[lo:hi] * nb, axis=-1) + h_t[lo:hi]
-        de = -2.0 * s_blk * field
-        acc = metropolis_accept(de, temp, u[..., lo:hi])
-        spins = spins.at[..., lo:hi].set(jnp.where(acc, -s_blk, s_blk))
-    return spins
+@partial(jax.jit, static_argnames=("tf",))
+def _noisy_svmc_scan(pg, a_sched, b_sched, temp, nbr_J_sched, h_sched,
+                     theta, key, tf=False):
+    perm = jnp.asarray(pg.perm)
+    jts = jnp.take(nbr_J_sched, perm, axis=1)
+    hts = jnp.take(h_sched, perm, axis=1)
+    th = pack_state(pg, theta)
+    keys = jax.random.split(key, a_sched.shape[0])
+
+    def body(th, x):
+        ac, bc, j, h, k = x
+        th = packed_svmc_sweep(pg, th, k, temp, ac, bc, tf=tf, nbr_J=j, h=h)
+        return th, None
+
+    th, _ = jax.lax.scan(body, th, (a_sched, b_sched, jts, hts, keys))
+    return unpack_state(pg, th)
+
+
+# -------------------------------------------------------- public entry points
+
+
+def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
+    """Anneal scan on the packed layout — inner engine for
+    solvers.sa.anneal on concrete IsingProblem graphs."""
+    pg = build_packed(problem)
+    return _sa_scan(pg, spins, key, jnp.asarray(temps),
+                    collect_energy=collect_energy)
 
 
 def packed_noisy_scan(problem, temps, nbr_J_sched, h_sched, spins, key):
-    """Noisy anneal scan on the packed layout: the coupling tables are
-    row-permuted once outside the scan."""
+    """Noisy anneal scan on the packed layout (tables row-permuted once,
+    inside the jitted scan's prologue)."""
     pg = build_packed(problem)
-    perm = jnp.asarray(pg.perm)
-    jt = jnp.take(jnp.asarray(nbr_J_sched), perm, axis=1)
-    ht = jnp.take(jnp.asarray(h_sched), perm, axis=1)
-    s = pack_state(pg, spins)
-    keys = jax.random.split(key, temps.shape[0])
+    return _noisy_scan(pg, jnp.asarray(temps), jnp.asarray(nbr_J_sched),
+                       jnp.asarray(h_sched), spins, key)
 
-    def body(s, x):
-        t, j, h, k = x
-        return packed_noisy_sweep(pg, j, h, s, k, t), None
 
-    s, _ = jax.lax.scan(body, s, (jnp.asarray(temps), jt, ht, keys))
-    return unpack_state(pg, s)
+def packed_svmc_scan(problem, a_sched, b_sched, temp, theta, key, tf=False,
+                     collect_energy=False):
+    """SVMC anneal scan on the packed layout — inner engine for
+    solvers.svmc.anneal on concrete IsingProblem graphs."""
+    pg = build_packed(problem)
+    return _svmc_scan(pg, jnp.asarray(a_sched), jnp.asarray(b_sched),
+                      jnp.asarray(temp, jnp.float32), theta, key, tf=tf,
+                      collect_energy=collect_energy)
 
 
 def packed_noisy_svmc_scan(problem, a_sched, b_sched, temp, nbr_J_sched,
                            h_sched, theta, key, tf=False):
     """Noisy SVMC anneal on the packed layout (NoisySVMC/TF,
-    svmc.pyx:236-448): per-step tables row-permuted once outside the
-    scan."""
-    from montecarlosolvers_tpu.ops import svmc_ops
-
+    svmc.pyx:236-448)."""
     pg = build_packed(problem)
-    perm = jnp.asarray(pg.perm)
-    jts = jnp.take(jnp.asarray(nbr_J_sched), perm, axis=1)
-    hts = jnp.take(jnp.asarray(h_sched), perm, axis=1)
-    th = pack_state(pg, theta)
-    keys = jax.random.split(key, a_sched.shape[0])
-
-    def sweep(th, jt, ht, k, ac, bc):
-        ku, ka = jax.random.split(k)
-        u_prop = jax.random.uniform(ku, th.shape)
-        u_acc = jax.random.uniform(ka, th.shape)
-        for i in range(len(pg.starts) - 1):
-            lo, hi = pg.starts[i], pg.starts[i + 1]
-            if lo == hi:
-                continue
-            blk = th[..., lo:hi]
-            up = u_prop[..., lo:hi]
-            prop = (
-                svmc_ops.propose_tf(blk, up, ac, bc)
-                if tf else svmc_ops.propose_uniform(up)
-            )
-            nb = jnp.take(jnp.cos(th), pg.nbr_idx[lo:hi], axis=-1)
-            zf = jnp.sum(jt[lo:hi] * nb, axis=-1) + ht[lo:hi]
-            de = bc * (jnp.cos(prop) - jnp.cos(blk)) * zf
-            de = de + ac * (jnp.sin(blk) - jnp.sin(prop))
-            acc = metropolis_accept(de, temp, u_acc[..., lo:hi])
-            th = th.at[..., lo:hi].set(jnp.where(acc, prop, blk))
-        return th
-
-    def body(th, x):
-        ac, bc, jt, ht, k = x
-        return sweep(th, jt, ht, k, ac, bc), None
-
-    th, _ = jax.lax.scan(
-        body, th, (jnp.asarray(a_sched), jnp.asarray(b_sched), jts, hts, keys)
-    )
-    return unpack_state(pg, th)
-
-
-def packed_sweep_scan(problem, spins, key, temps, collect_energy=False):
-    """Anneal scan on the packed layout — drop-in inner engine for
-    solvers.sa.anneal on concrete IsingProblem graphs."""
-    pg = build_packed(problem)
-    s = pack_state(pg, spins)
-    temps = jnp.asarray(temps)
-    keys = jax.random.split(key, temps.shape[0])
-
-    def body(s, x):
-        t, k = x
-        s = packed_sweep(pg, s, k, t)
-        e = packed_energy(pg, s) if collect_energy else None
-        return s, e
-
-    s, es = jax.lax.scan(body, s, (temps, keys))
-    return unpack_state(pg, s), es
+    return _noisy_svmc_scan(pg, jnp.asarray(a_sched), jnp.asarray(b_sched),
+                            jnp.asarray(temp, jnp.float32),
+                            jnp.asarray(nbr_J_sched),
+                            jnp.asarray(h_sched), theta, key, tf=tf)

@@ -119,7 +119,6 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     return confs
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "rule"))
 def anneal_wolff(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
                  rule="local", lookuptable=None):
     """PIQMC anneal with Wolff cluster updates (one cluster per MC step,
@@ -129,7 +128,22 @@ def anneal_wolff(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
       `lookuptable`, bath bonds join the growth (DissaptiveQuantumAnnealWCL;
       implemented as additional imaginary-time bonds in the same draw).
     rule="full": full-local-energy bond rule (QuantumAnnealWC).
-    """
+
+    LatticeProblems are converted to the padded-gather representation
+    (the cluster engine walks explicit neighbor tables)."""
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_ising()
+    return _anneal_wolff_impl(
+        problem, a_sched, b_sched, temp, confs, key, mcsteps=mcsteps,
+        rule=rule, lookuptable=lookuptable,
+    )
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "rule"))
+def _anneal_wolff_impl(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
+                       rule="local", lookuptable=None):
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
     keys = jax.random.split(key, a.shape[0])

@@ -30,8 +30,25 @@ from montecarlosolvers_tpu.ops.metropolis import (
 )
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "collect_energy"))
-def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
+# The solver entry points dispatch EAGERLY (outside jit) so engines whose
+# setup needs concrete arrays (ops/packed.py's class-major permutation)
+# stay reachable; each engine scan below is itself jitted once at module
+# scope, so callers pay only Python-level dispatch per call. Calling a
+# solver from inside an outer jit still works — traced problems fall back
+# to the masked engine (jit-in-jit inlines).
+from montecarlosolvers_tpu.ops import packed as packed_ops
+from montecarlosolvers_tpu.ops import split as split_ops
+
+_sweep_scan_jit = partial(
+    jax.jit, static_argnames=("collect_energy",)
+)(sweep_scan)
+_split_sa_jit = partial(
+    jax.jit, static_argnames=("collect_energy",)
+)(split_ops.sa_anneal_split)
+
+
+def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False,
+           engine="auto"):
     """Thermal anneal over the temperature schedule `sched`.
 
     Args:
@@ -44,12 +61,16 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
       collect_energy: also return per-sweep energies (scan output) — the
         reference exposes no observables (SURVEY.md §5); here they are free
         scan outputs.
+      engine: "auto" (dispatch: lattice -> split, packed-eligible graph ->
+        packed, else masked) or "masked" to force the masked colored
+        engine — the engine a vmapped call (traced problem leaves, e.g.
+        parallel/disorder.py) necessarily uses, so solo-vs-vmapped
+        bitwise comparisons should pin it.
 
     Returns:
       spins (same shape), or (spins, energies) when collect_energy.
     """
     from montecarlosolvers_tpu.models.dense import DenseProblem
-    from montecarlosolvers_tpu.ops import split as split_ops
 
     if isinstance(problem, DenseProblem):
         # fully-connected problems route to the MXU blocked-sequential
@@ -60,12 +81,15 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
                             collect_energy=collect_energy)
 
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
-    from montecarlosolvers_tpu.ops import packed as packed_ops
 
-    if split_ops.supports_split(problem):
+    if engine == "masked":
+        spins, es = _sweep_scan_jit(
+            problem, spins, key, temps, collect_energy=collect_energy
+        )
+    elif split_ops.supports_split(problem):
         # even-L lattices take the split-checkerboard engine
         # (ops/split.py): maskless half-array phases, zero lane padding
-        spins, es = split_ops.sa_anneal_split(
+        spins, es = _split_sa_jit(
             problem, temps, spins, key, collect_energy=collect_energy
         )
     elif packed_ops.supports_packed(problem):
@@ -75,7 +99,7 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
             problem, spins, key, temps, collect_energy=collect_energy
         )
     else:
-        spins, es = sweep_scan(
+        spins, es = _sweep_scan_jit(
             problem, spins, key, temps, collect_energy=collect_energy
         )
     if collect_energy:
@@ -83,7 +107,18 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False):
     return spins
 
 
-@partial(jax.jit, static_argnames=("mcsteps",))
+@jax.jit
+def _noisy_masked_scan(problem, temps, nbr_J_sched, h_sched, spins, key):
+    keys = jax.random.split(key, temps.shape[0])
+
+    def body(s, x):
+        t, jt, ht, k = x
+        return noisy_colored_sweep(problem, jt, ht, s, k, t), None
+
+    spins, _ = jax.lax.scan(body, spins, (temps, nbr_J_sched, h_sched, keys))
+    return spins
+
+
 def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
     """Thermal anneal with time-dependent couplings (sa.NoisyAnneal,
     sa.pyx:291-378).
@@ -93,8 +128,6 @@ def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
     The reference's 4-D nbs array (noise or control trajectory per step,
     sa.pyx:308-311) maps to these two scanned tables.
     """
-    from montecarlosolvers_tpu.ops import packed as packed_ops
-
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
     nbr_J_sched = jnp.repeat(nbr_J_sched, mcsteps, axis=0) if mcsteps > 1 else nbr_J_sched
     h_sched = jnp.repeat(h_sched, mcsteps, axis=0) if mcsteps > 1 else h_sched
@@ -103,15 +136,7 @@ def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
         return packed_ops.packed_noisy_scan(
             problem, temps, nbr_J_sched, h_sched, spins, key
         )
-
-    keys = jax.random.split(key, temps.shape[0])
-
-    def body(s, x):
-        t, jt, ht, k = x
-        return noisy_colored_sweep(problem, jt, ht, s, k, t), None
-
-    spins, _ = jax.lax.scan(body, spins, (temps, nbr_J_sched, h_sched, keys))
-    return spins
+    return _noisy_masked_scan(problem, temps, nbr_J_sched, h_sched, spins, key)
 
 
 def random_state(key, nspins, batch=()):

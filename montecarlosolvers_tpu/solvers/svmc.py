@@ -22,44 +22,19 @@ import jax.numpy as jnp
 
 from montecarlosolvers_tpu import schedules as sched_mod
 from montecarlosolvers_tpu.ops import svmc_ops
+from montecarlosolvers_tpu.ops import packed as packed_ops
+from montecarlosolvers_tpu.ops import split as split_ops
+
+# Entry points dispatch eagerly (ops/packed.py needs concrete arrays to
+# build its layout); the engine scans are jitted once at module scope.
+_split_svmc_jit = partial(
+    jax.jit, static_argnames=("tf", "collect_energy")
+)(split_ops.svmc_anneal_split)
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "tf", "collect_energy"))
-def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
-           collect_energy=False):
-    """SVMC anneal over (A, B) schedules at fixed temperature.
-
-    theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
-    tf=True uses transverse-field-informed proposals (svmc.pyx:198-207).
-    collect_energy emits per-sweep z-projected classical energies.
-    Returns the annealed angles; project with ops.svmc_ops.z_projection.
-    """
-    from montecarlosolvers_tpu.ops import split as split_ops
-    from montecarlosolvers_tpu.ops import packed as packed_ops
-
-    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
-    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
-
-    if split_ops.supports_split(problem):
-        # even-L lattices: maskless split-checkerboard engine (ops/split.py)
-        theta, es = split_ops.svmc_anneal_split(
-            problem, a, b, temp, theta, key, tf=tf,
-            collect_energy=collect_energy,
-        )
-        if collect_energy:
-            return theta, es
-        return theta
-
-    if packed_ops.supports_packed(problem):
-        # arbitrary graphs: class-major packed layout (ops/packed.py)
-        theta, es = packed_ops.packed_svmc_scan(
-            problem, a, b, temp, theta, key, tf=tf,
-            collect_energy=collect_energy,
-        )
-        if collect_energy:
-            return theta, es
-        return theta
-
+@partial(jax.jit, static_argnames=("tf", "collect_energy"))
+def _masked_svmc_scan(problem, a, b, temp, theta, key, tf=False,
+                      collect_energy=False):
     keys = jax.random.split(key, a.shape[0])
 
     def body(th, x):
@@ -71,19 +46,61 @@ def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
         )
         return th, e
 
-    theta, es = jax.lax.scan(body, theta, (a, b, keys))
+    return jax.lax.scan(body, theta, (a, b, keys))
+
+
+@partial(jax.jit, static_argnames=("tf",))
+def _masked_noisy_svmc_scan(problem, a, b, temp, nbr_J_sched, h_sched,
+                            theta, key, tf=False):
+    keys = jax.random.split(key, a.shape[0])
+
+    def body(th, x):
+        ac, bc, jt, ht, k = x
+        th = svmc_ops.noisy_svmc_sweep(problem, jt, ht, th, k, temp, ac, bc, tf=tf)
+        return th, None
+
+    theta, _ = jax.lax.scan(body, theta, (a, b, nbr_J_sched, h_sched, keys))
+    return theta
+
+
+def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
+           collect_energy=False):
+    """SVMC anneal over (A, B) schedules at fixed temperature.
+
+    theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
+    tf=True uses transverse-field-informed proposals (svmc.pyx:198-207).
+    collect_energy emits per-sweep z-projected classical energies.
+    Returns the annealed angles; project with ops.svmc_ops.z_projection.
+    """
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+
+    if split_ops.supports_split(problem):
+        # even-L lattices: maskless split-checkerboard engine (ops/split.py)
+        theta, es = _split_svmc_jit(
+            problem, a, b, temp, theta, key, tf=tf,
+            collect_energy=collect_energy,
+        )
+    elif packed_ops.supports_packed(problem):
+        # arbitrary graphs: class-major packed layout (ops/packed.py)
+        theta, es = packed_ops.packed_svmc_scan(
+            problem, a, b, temp, theta, key, tf=tf,
+            collect_energy=collect_energy,
+        )
+    else:
+        theta, es = _masked_svmc_scan(
+            problem, a, b, temp, theta, key, tf=tf,
+            collect_energy=collect_energy,
+        )
     if collect_energy:
         return theta, es
     return theta
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "tf"))
 def anneal_noisy(problem, a_sched, b_sched, temp, nbr_J_sched, h_sched,
                  theta, key, mcsteps=1, tf=False):
     """SVMC anneal with per-step couplings (NoisySVMC/NoisySVMCTF; the
     reference's 4-D time-dependent nbs array, svmc.pyx:255-264)."""
-    from montecarlosolvers_tpu.ops import packed as packed_ops
-
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
     if mcsteps > 1:
@@ -94,16 +111,9 @@ def anneal_noisy(problem, a_sched, b_sched, temp, nbr_J_sched, h_sched,
         return packed_ops.packed_noisy_svmc_scan(
             problem, a, b, temp, nbr_J_sched, h_sched, theta, key, tf=tf
         )
-
-    keys = jax.random.split(key, a.shape[0])
-
-    def body(th, x):
-        ac, bc, jt, ht, k = x
-        th = svmc_ops.noisy_svmc_sweep(problem, jt, ht, th, k, temp, ac, bc, tf=tf)
-        return th, None
-
-    theta, _ = jax.lax.scan(body, theta, (a, b, nbr_J_sched, h_sched, keys))
-    return theta
+    return _masked_noisy_svmc_scan(
+        problem, a, b, temp, nbr_J_sched, h_sched, theta, key, tf=tf
+    )
 
 
 def random_state(key, nspins, batch=()):

@@ -152,3 +152,17 @@ class TestTracedConstruction:
             return prob.energy(s)
 
         assert np.isclose(float(energy_explicit(jr, jd, s)), e_eager, atol=1e-4)
+
+    def test_to_ising_energy_equivalence(self):
+        """LatticeProblem.to_ising must preserve energies (periodic +
+        fields)."""
+        rng = np.random.default_rng(5)
+        lat = LatticeProblem.from_planes(
+            rng.normal(size=(4, 4)), rng.normal(size=(4, 4)),
+            rng.normal(size=(4, 4)) * 0.2,
+        )
+        gen = lat.to_ising()
+        s = jnp.asarray(rng.choice([-1.0, 1.0], size=(5, 16)).astype(np.float32))
+        assert np.allclose(
+            np.asarray(lat.energy(s)), np.asarray(gen.energy(s)), atol=1e-4
+        )

@@ -229,3 +229,71 @@ class TestPackedSVMC:
         )
         es = np.asarray(prob.energy(out))
         assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
+
+
+class TestDispatchEngaged:
+    """The engines consume RNG differently, so bitwise equality with the
+    packed scan holds ONLY when the packed path really ran — these would
+    have caught the dead-dispatch regression (packed unreachable inside a
+    jitted solver entry point)."""
+
+    def test_sa_dispatch_bitwise_matches_packed_engine(self, rng):
+        prob = _graph(rng)
+        key = jax.random.key(11)
+        s0 = sa.random_state(key, prob.nspins, batch=(2,))
+        sched = schedules.linear(2.0, 0.1, 20)
+        via_solver = sa.anneal(prob, sched, s0, key)
+        direct, _ = pk.packed_sweep_scan(prob, s0, key, sched)
+        assert np.array_equal(np.asarray(via_solver), np.asarray(direct))
+
+    def test_svmc_dispatch_bitwise_matches_packed_engine(self, rng):
+        from montecarlosolvers_tpu.solvers import svmc
+
+        prob = _graph(rng)
+        key = jax.random.key(12)
+        th = svmc.random_state(key, prob.nspins, batch=(2,))
+        a = schedules.linear(2.0, 1e-8, 20)
+        via_solver = svmc.anneal(prob, a, jnp.ones_like(a), 0.1, th, key)
+        direct, _ = pk.packed_svmc_scan(
+            prob, a, jnp.ones_like(a), 0.1, th, key
+        )
+        assert np.array_equal(np.asarray(via_solver), np.asarray(direct))
+
+    def test_noisy_dispatch_bitwise_matches_packed_engine(self, rng):
+        prob = _graph(rng)
+        steps = 15
+        jt = jnp.broadcast_to(prob.nbr_J, (steps,) + prob.nbr_J.shape)
+        ht = jnp.broadcast_to(prob.h, (steps,) + prob.h.shape)
+        key = jax.random.key(13)
+        s0 = sa.random_state(key, prob.nspins, batch=(2,))
+        sched = schedules.linear(2.0, 0.1, steps)
+        via_solver = sa.anneal_noisy(prob, sched, jt, ht, s0, key)
+        direct = pk.packed_noisy_scan(prob, sched, jt, ht, s0, key)
+        assert np.array_equal(np.asarray(via_solver), np.asarray(direct))
+
+    def test_many_color_graphs_fall_back(self):
+        """Complete-ish graphs exceed MAX_PACKED_COLORS and must take the
+        masked fori engine (program size stays O(1) in colors)."""
+        n = 12
+        rows, cols = np.triu_indices(n, k=1)
+        vals = np.random.default_rng(0).normal(size=rows.shape)
+        prob = IsingProblem.from_edges(n, rows, cols, vals, maxnb=n - 1)
+        assert prob.num_colors > pk.MAX_PACKED_COLORS
+        assert not pk.supports_packed(prob)
+        # and the solver still works through the fallback
+        key = jax.random.key(14)
+        s0 = sa.random_state(key, n, batch=(4,))
+        out = sa.anneal(prob, schedules.linear(2.0, 0.1, 50), s0, key)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+    def test_wolff_on_lattice_problem(self, rng):
+        """anneal_wolff must accept LatticeProblem via to_ising conversion
+        (README lists piqmc_wolff next to a lattice=True quickstart)."""
+        from montecarlosolvers_tpu.solvers import qmc
+        from montecarlosolvers_tpu.solvers.api import solve
+
+        lat, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        e_gs, _ = brute_force_ground(lat)
+        res = solve(lat, method="piqmc_wolff", num_reads=8, sweeps=300,
+                    seed=2, slices=6)
+        assert res.best_energy <= e_gs + 0.1 * abs(e_gs)
