@@ -115,7 +115,11 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
         t_chunk = time.time()
         kc = jax.random.fold_in(key, done)
         k1, k2, k3 = jax.random.split(kc, 3)
-        s0 = sa.random_state(k1, problem.nspins, batch=(n,))
+        # remainder chunks run PADDED to the full chunk size and slice the
+        # result: a fresh batch shape would recompile every program, and
+        # through the remote-TPU compile service one odd-shape compile can
+        # cost more than the extra chains' compute
+        s0 = sa.random_state(k1, problem.nspins, batch=(chunk,))
         s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
         confs = qmc.replicate(s0, slices)
         for seg_i in range(0, len(a_full), segment):
@@ -124,7 +128,7 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
                 problem, a, jnp.ones_like(a), temp, confs,
                 jax.random.fold_in(k3, seg_i), global_moves=global_moves,
             )
-        es = np.asarray(qmc.best_slice_energy(problem, confs))
+        es = np.asarray(qmc.best_slice_energy(problem, confs))[:n]
         if part:
             np.savez(part, energies=es)
         outs.append(es)
