@@ -158,6 +158,11 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
     nspins = problem.nspins
     key = jax.random.key(seed)
     results = {}
+    # touch the device BEFORE starting the budget clock: remote-tunnel
+    # backend init after a previous process's disconnect intermittently
+    # hangs for many minutes and would otherwise consume the whole budget
+    # (the caller's process-level timeout still bounds a truly dead tunnel)
+    jax.block_until_ready(jax.random.uniform(jax.random.key(0), (8,)))
     t_start = time.time()
     deadline = t_start + budget_s if budget_s is not None else None
 
