@@ -53,7 +53,7 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000):
     multi-minute scan dispatch can trip the remote-TPU watchdog)."""
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
-    sched = np.asarray(schedules.linear(pre_temp, 0.0, int(tau)))
+    sched = np.linspace(pre_temp, 0.0, int(tau), dtype=np.float32)
     out = s0
     for seg_i in range(0, len(sched), segment):
         out = sa.anneal(
@@ -88,9 +88,9 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     temp = pt / slices
     fieldstart = 3.0 if pt == 1 else 2.5
     pre = schedules.pre_anneal_schedule(pre_temp, pt)
-    a_full = np.asarray(
-        schedules.transverse_field(fieldstart, 1e-8, int(tau))
-    )
+    # host-side numpy: jnp.linspace + np.asarray would compute the 6M-
+    # element schedule on device and fetch it through the tunnel per call
+    a_full = np.linspace(fieldstart, 1e-8, int(tau), dtype=np.float32)
     outs = []
     done = 0
     chunk_cost = 0.0  # measured seconds per computed chunk (this point)
