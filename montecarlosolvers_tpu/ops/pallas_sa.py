@@ -18,12 +18,14 @@ update (2 phases/sweep); statistical equivalence is validated by the exact
 Gibbs-distribution check in tests/test_pallas.py.
 
 Deployment note (2026-08, axon-tunneled v5e): this environment's remote
-Mosaic compile service both compiles pathologically slowly (~2 min for
-this kernel, minutes for a trivial block copy) and emits unoptimized code
-(~300x slower execution than the XLA roll path). The kernel is therefore
-validated through the TPU-semantics interpreter and kept as the
-direct-attached-TPU fast path; bench.py uses the XLA lattice path, which
-already runs at ~3x the 1e10 attempts/s north star.
+Mosaic compile service both compiles pathologically slowly and emits
+unoptimized code (~300x slower execution than the XLA roll path). Round-2
+re-check: a single benchmark-shape kernel compile did not finish within
+11 minutes (a toy kernel took 368 s earlier the same day), so no
+compiled-run datapoint is obtainable here; the kernel stays validated
+through the TPU-semantics interpreter and kept as the
+direct-attached-TPU fast path. bench.py uses the XLA split-checkerboard
+path, which runs at ~5x the 1e10 attempts/s north star.
 """
 
 from __future__ import annotations
