@@ -112,34 +112,6 @@ class LatticeProblem:
                 raise ValueError(f"edge ({a},{b}) is not a 2D-lattice bond")
         return cls.from_planes(jr, jd, h)
 
-    def to_ising(self):
-        """Concrete conversion to the padded-gather IsingProblem — needed
-        by engines that walk explicit neighbor tables (the Wolff cluster
-        updates, ops/cluster.py). Requires concrete planes."""
-        from montecarlosolvers_tpu.models.ising import IsingProblem
-
-        jr = np.asarray(self.j_right)
-        jd = np.asarray(self.j_down)
-        hp = np.asarray(self.h_plane)
-        L = self.L
-        rows, cols, vals = [], [], []
-        for r in range(L):
-            for c in range(L):
-                i = r * L + c
-                if jr[r, c] != 0.0:
-                    rows.append(i)
-                    cols.append(r * L + (c + 1) % L)
-                    vals.append(float(jr[r, c]))
-                if jd[r, c] != 0.0:
-                    rows.append(i)
-                    cols.append(((r + 1) % L) * L + c)
-                    vals.append(float(jd[r, c]))
-                if hp[r, c] != 0.0:
-                    rows.append(i)
-                    cols.append(i)
-                    vals.append(float(hp[r, c]))
-        return IsingProblem.from_edges(L * L, rows, cols, vals)
-
     # ------------------------------------------------------------ interface
     @property
     def nspins(self):

@@ -339,22 +339,37 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
     never share an interaction.
     """
     slices, nspins = confs.shape
+    colors = problem.num_colors
     if per_slice_seeds:
-        for isl in range(slices):
-            seeds = jnp.full((nspins,), isl, dtype=jnp.int32)
-            for c in range(problem.num_colors):
-                key, sub = jax.random.split(key)
-                confs = bath_cluster_phase(
-                    problem, confs, sub, temp, gamma, b, lookuptable,
-                    seeds, problem.color_masks[c],
-                )
+        # P*colors phases: a rolled lax.fori_loop (the unrolled form
+        # compiles one program per phase — >= 80 phases per schedule step
+        # at the benchmark's P=40 — and materializes every phase's
+        # (N, P, P) bath tensors in one XLA program). Key-split order
+        # matches the previous unrolled loop bitwise.
+        def phase(i, carry):
+            confs, key = carry
+            isl = (i // colors).astype(jnp.int32)
+            c = i % colors
+            key, sub = jax.random.split(key)
+            confs = bath_cluster_phase(
+                problem, confs, sub, temp, gamma, b, lookuptable,
+                jnp.broadcast_to(isl, (nspins,)), problem.color_masks[c],
+            )
+            return confs, key
+
+        confs, _ = jax.lax.fori_loop(0, slices * colors, phase, (confs, key))
     else:
         key, kseed = jax.random.split(key)
         seeds = jax.random.randint(kseed, (nspins,), 0, slices)
-        for c in range(problem.num_colors):
+
+        def phase(c, carry):
+            confs, key = carry
             key, sub = jax.random.split(key)
             confs = bath_cluster_phase(
                 problem, confs, sub, temp, gamma, b, lookuptable,
                 seeds, problem.color_masks[c],
             )
+            return confs, key
+
+        confs, _ = jax.lax.fori_loop(0, colors, phase, (confs, key))
     return confs

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -134,7 +135,22 @@ def anneal_wolff(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     from montecarlosolvers_tpu.models.lattice import LatticeProblem
 
     if isinstance(problem, LatticeProblem):
-        problem = problem.to_ising()
+        problem = problem.to_generic()
+    if lookuptable is not None:
+        # The bath bond draw materializes ~3 live (N, P, P) f32 tensors
+        # per chain (ops/cluster.py wolff_update docstring); catch an
+        # obvious OOM before XLA fails with an opaque allocation error.
+        chains = int(np.prod(confs.shape[:-2])) if confs.ndim > 2 else 1
+        slices = confs.shape[-2]
+        est = 3 * 4 * chains * problem.nspins * slices * slices
+        if est > 8 << 30:
+            raise ValueError(
+                f"dissipative Wolff bath draw needs ~{est / 2**30:.1f} GiB "
+                f"of (chains={chains}, N={problem.nspins}, P={slices}) "
+                "imaginary-time bond tensors — reduce the chain batch "
+                "(e.g. <= 8 chains at N=6400, P=40) or shard chains "
+                "across devices (parallel/mesh.py)."
+            )
     return _anneal_wolff_impl(
         problem, a_sched, b_sched, temp, confs, key, mcsteps=mcsteps,
         rule=rule, lookuptable=lookuptable,

@@ -153,15 +153,15 @@ class TestTracedConstruction:
 
         assert np.isclose(float(energy_explicit(jr, jd, s)), e_eager, atol=1e-4)
 
-    def test_to_ising_energy_equivalence(self):
-        """LatticeProblem.to_ising must preserve energies (periodic +
-        fields)."""
+    def test_to_generic_energy_equivalence(self):
+        """LatticeProblem.to_generic must preserve energies (periodic +
+        fields) — the conversion anneal_wolff relies on."""
         rng = np.random.default_rng(5)
         lat = LatticeProblem.from_planes(
             rng.normal(size=(4, 4)), rng.normal(size=(4, 4)),
             rng.normal(size=(4, 4)) * 0.2,
         )
-        gen = lat.to_ising()
+        gen = lat.to_generic()
         s = jnp.asarray(rng.choice([-1.0, 1.0], size=(5, 16)).astype(np.float32))
         assert np.allclose(
             np.asarray(lat.energy(s)), np.asarray(gen.energy(s)), atol=1e-4

@@ -49,6 +49,62 @@ class TestChainSharding:
         )
         assert np.array_equal(ref, out)
 
+    def test_sa_split_engine_identical_under_sharding(self, rng, eight_devices):
+        """The PRODUCTION engine (split-checkerboard, ops/split.py — the
+        path behind the benchmark numbers) must be bitwise chain-sharding
+        transparent: its pack/unpack jnp.take permutations are exactly the
+        kind of op that can silently break under a sharded batch."""
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        assert split_ops.supports_split(prob)
+        key = jax.random.key(6)
+        s0 = sa.random_state(key, prob.nspins, batch=(16,))
+        sched = schedules.linear(2.0, 0.0, 30)
+        ref = np.asarray(sa.anneal(prob, sched, s0, key))
+        mesh = make_mesh(chains=8)
+        out = np.asarray(sa.anneal(prob, sched, shard_chains(s0, mesh), key))
+        assert np.array_equal(ref, out)
+
+    def test_qmc_split_engine_identical_under_sharding(self, rng, eight_devices):
+        """qmc_anneal_split (even-L lattice, even P, global moves) bitwise
+        under chain sharding."""
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        key = jax.random.key(7)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins, batch=(8,)), 4)
+        assert split_ops.supports_split(prob, confs.shape[-2])
+        a = schedules.transverse_field(2.0, 1e-8, 15)
+        b = jnp.ones_like(a)
+        ref = np.asarray(qmc.anneal(prob, a, b, 0.25, confs, key, global_moves=True))
+        mesh = make_mesh(chains=8)
+        out = np.asarray(
+            qmc.anneal(prob, a, b, 0.25, shard_chains(confs, mesh), key,
+                       global_moves=True)
+        )
+        assert np.array_equal(ref, out)
+
+    def test_split_engine_ground_state_under_sharding(self, rng, eight_devices):
+        """Chain-sharded split-engine PIQMC anneal must still reach the
+        brute-force ground state (quality bar, not just shape checks)."""
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        e_gs, _ = brute_force_ground(prob.to_generic())
+        key = jax.random.key(8)
+        k1, k2, k3 = jax.random.split(key, 3)
+        s0 = sa.random_state(k1, prob.nspins, batch=(8,))
+        s0 = sa.anneal(prob, schedules.pre_anneal_schedule(3.0, 1.0), s0, k2,
+                       mcsteps=5)
+        confs = qmc.replicate(s0, 4)
+        a = schedules.transverse_field(3.0, 1e-8, 300)
+        mesh = make_mesh(chains=8)
+        out = qmc.anneal(
+            prob, a, jnp.ones_like(a), 0.25, shard_chains(confs, mesh), k3,
+            global_moves=True,
+        )
+        best = float(np.min(np.asarray(qmc.best_slice_energy(prob, out))))
+        assert best <= e_gs + 0.1 * abs(e_gs), (best, e_gs)
+
 
 class TestTrotterSharding:
     def test_state_valid_and_deterministic(self, rng, eight_devices):
