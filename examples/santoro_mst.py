@@ -48,8 +48,12 @@ def main():
         print("budget spent; re-run to resume")
         sys.exit(3)
     results = mst.summarize_dir(args.outdir, problem.nspins, e_gs)
+    # equal-work axis (tau * P) and the reference/MST-2002 convention
+    # (equal tau; PIQMC gets P x more flip attempts at equal x)
     mst.plot_results(results, path=f"{args.outdir}/santoro_mst.png")
-    print(f"wrote {args.outdir}/santoro_mst.png")
+    mst.plot_results(results, path=f"{args.outdir}/santoro_mst_ref.png",
+                     x="tau")
+    print(f"wrote {args.outdir}/santoro_mst.png (+_ref.png)")
 
 
 if __name__ == "__main__":

@@ -45,21 +45,33 @@ class BudgetExceeded(Exception):
     disk, so the restart resumes at the first missing chunk."""
 
 
-def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000):
+def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000,
+           deadline=None):
     """One SA point: `reps` chains annealed T: pre_temp -> 0 over tau steps
     (examples/santoro80.py:258-262). Returns per-chain energies.
 
     Schedules longer than `segment` run as several dispatches (a single
-    multi-minute scan dispatch can trip the remote-TPU watchdog)."""
+    multi-minute scan dispatch can trip the remote-TPU watchdog). With
+    `deadline` (absolute time.time()), BudgetExceeded is raised before a
+    segment that — at the last segment's measured cost — would overrun it
+    (SA points have no mid-point checkpoint, so an abort recomputes the
+    point, but the budget is respected)."""
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
     sched = np.linspace(pre_temp, 0.0, int(tau), dtype=np.float32)
     out = s0
+    seg_cost = 0.0
     for seg_i in range(0, len(sched), segment):
+        if deadline is not None and time.time() + seg_cost > deadline:
+            raise BudgetExceeded(f"SA tau={tau} at step {seg_i}")
+        t_seg = time.time()
         out = sa.anneal(
             problem, jnp.asarray(sched[seg_i:seg_i + segment]), out,
             jax.random.fold_in(k2, seg_i),
         )
+        if deadline is not None:
+            out.block_until_ready()  # sync only when budget-tracking
+            seg_cost = time.time() - t_seg
     return np.asarray(problem.energy(out))
 
 
@@ -93,7 +105,12 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     a_full = np.linspace(fieldstart, 1e-8, int(tau), dtype=np.float32)
     outs = []
     done = 0
-    chunk_cost = 0.0  # measured seconds per computed chunk (this point)
+    # Seed the per-chunk cost estimate with an optimistic device-rate floor
+    # (2.5e10 attempts/s, the measured v5e PIQMC rate) so even the FIRST
+    # chunk of a point cannot silently overrun a tight deadline by its full
+    # ~9 min; once a chunk is measured, the larger of the two is used.
+    cost_floor = chunk * slices * problem.nspins * int(tau) / 2.5e10
+    chunk_cost = cost_floor if deadline is not None else 0.0
     while done < reps:
         n = min(chunk, reps - done)
         part = f"{cache_prefix}.chunk{done}.npz" if cache_prefix else None
@@ -133,7 +150,7 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
             np.savez(part, energies=es)
         outs.append(es)
         done += n
-        chunk_cost = time.time() - t_chunk
+        chunk_cost = max(time.time() - t_chunk, cost_floor)
     return np.concatenate(outs)
 
 
@@ -157,7 +174,6 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
         taus = taus[taus <= max_tau]
     nspins = problem.nspins
     key = jax.random.key(seed)
-    results = {}
     # touch the device BEFORE starting the budget clock: remote-tunnel
     # backend init after a previous process's disconnect intermittently
     # hangs for many minutes and would otherwise consume the whole budget
@@ -183,7 +199,6 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
     complete = True
     arms = [("CA", None)] + [(f"PT={pt}_P={p}", (pt, p)) for pt, p in exps]
     for name, cfg in arms:
-        xs, ys = [], []
         for i, tau in enumerate(taus):
             # stable digest (python hash() is salted per process)
             kp = jax.random.fold_in(
@@ -192,9 +207,10 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
             try:
                 if cfg is None:
                     eps, fresh = point(
-                        f"CA_tau{tau}", lambda: sa_arm(problem, tau, reps, kp)
+                        f"CA_tau{tau}",
+                        lambda: sa_arm(problem, tau, reps, kp,
+                                       deadline=deadline),
                     )
-                    xs.append(int(tau))
                 else:
                     pt, p = cfg
                     eps, fresh = point(
@@ -211,7 +227,6 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
                             deadline=deadline,
                         ),
                     )
-                    xs.append(int(tau) * p)  # total sweeps across replicas
             except BudgetExceeded as e:
                 if verbose:
                     print(
@@ -221,7 +236,6 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
                     )
                 complete = False
                 break
-            ys.append(eps)
             if verbose:
                 mark = "ran" if fresh else "cached"
                 print(
@@ -229,21 +243,27 @@ def mst_benchmark(problem, e_gs, outdir="mst_results", taus=None, reps=45,
                     f"eps_res={eps:.5f} ({mark})",
                     flush=True,
                 )
-        results[name] = (np.asarray(xs), np.asarray(ys))
         if not complete:
             break
 
     # rebuild the summary from ALL point files on disk — writing only the
     # arms visited this invocation would discard previously completed arms
     # after a budget-exhausted partial pass
-    summarize_dir(outdir, nspins, e_gs, exps=exps)
+    results = summarize_dir(outdir, nspins, e_gs, exps=exps)
     return results, complete
 
 
 def summarize_dir(outdir, nspins, e_gs, exps=DEFAULT_EXPS):
-    """Rebuild {name: (total_sweeps, eps)} purely from the cached point
-    files in `outdir` — no compute. Tolerates ragged arms (points missing
-    for some configs, e.g. after an aborted run)."""
+    """Rebuild {name: {"tau", "total_sweeps", "eps"}} purely from the
+    cached point files in `outdir` — no compute. Tolerates ragged arms
+    (points missing for some configs, e.g. after an aborted run).
+
+    Two x-axis conventions are carried side by side:
+      "tau"          — the schedule length, the reference's plot axis
+                       (examples/santoro80.py:310-317: SA and PIQMC share
+                       the same tau; PIQMC does P x more flip attempts).
+      "total_sweeps" — tau * P, the stricter equal-work axis.
+    """
     import glob
     import re
 
@@ -256,37 +276,54 @@ def summarize_dir(outdir, nspins, e_gs, exps=DEFAULT_EXPS):
             if not m:
                 continue
             d = np.load(path)
-            xs.append(int(m.group(1)) * mult)
+            xs.append(int(m.group(1)))
             ys.append(float(d["eps"]))
         if xs:
             order = np.argsort(xs)
-            results[name] = (np.asarray(xs)[order], np.asarray(ys)[order])
+            xs = np.asarray(xs)[order]
+            results[name] = {
+                "tau": xs,
+                "total_sweeps": xs * mult,
+                "eps": np.asarray(ys)[order],
+            }
     with open(os.path.join(outdir, "summary.json"), "w") as f:
         json.dump(
-            {k: {"tau": v[0].tolist(), "eps": v[1].tolist()}
+            {k: {"tau": v["tau"].tolist(),
+                 "total_sweeps": v["total_sweeps"].tolist(),
+                 "eps": v["eps"].tolist()}
              for k, v in results.items()},
             f, indent=2,
         )
     return results
 
 
-def plot_results(results, path=None):
-    """Log-log eps_res vs tau, one curve per arm (the reference's
-    plot_sontoro, examples/santoro80.py:304-323). Returns the figure."""
+def plot_results(results, path=None, x="total_sweeps"):
+    """Log-log eps_res curves, one per arm (the reference's plot_sontoro,
+    examples/santoro80.py:304-323). Returns the figure.
+
+    x="tau" plots the reference/MST-2002 convention (equal tau for SA and
+    PIQMC — PIQMC gets P x more flip attempts at equal x); the default
+    x="total_sweeps" is the stricter equal-work comparison. Legacy
+    (xs, eps) tuples are accepted and plotted as-is.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots()
-    for idx, (name, (xs, ys)) in enumerate(results.items()):
+    for name, v in results.items():
+        xs, ys = (v[x], v["eps"]) if isinstance(v, dict) else v
         style = dict(marker="x", ls="-")
         if name == "CA":
             style["color"] = "k"
         ax.plot(xs, ys, label=name, **style)
     ax.set_xscale("log")
     ax.set_yscale("log")
-    ax.set_xlabel(r"$\tau$ (total sweeps)")
+    ax.set_xlabel(
+        r"$\tau$ (schedule steps)" if x == "tau"
+        else r"$\tau \cdot P$ (total sweeps)"
+    )
     ax.set_ylabel(r"$\epsilon_{res}$")
     ax.legend()
     if path:

@@ -20,6 +20,15 @@ devices update concurrently against a bath-field snapshot refreshed once
 per local slice step — the cross-device analog of the reference's own
 tolerated asynchrony (its `prange` races, SURVEY.md §5 "race detection"),
 validated statistically rather than bitwise.
+
+Perf status (ARCHITECTURE.md §6): correctness-grade. Validated on the
+virtual CPU mesh only (this environment has one real chip); the sweep is
+the generic masked engine, not the split layout. The halo exchange runs
+once per color phase ON PURPOSE: boundary slices contain sites of every
+spatial color, so the remote Trotter neighbors they read change every
+phase — hoisting the exchange out of the color loop would evaluate dE
+against stale spins and reintroduce the async races the coloring exists
+to eliminate.
 """
 
 from __future__ import annotations

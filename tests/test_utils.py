@@ -100,7 +100,8 @@ class TestMstHarness:
         )
         assert done1 and done2
         for k in res1:
-            assert np.array_equal(res1[k][1], res2[k][1])
+            assert np.array_equal(res1[k]["eps"], res2[k]["eps"])
+            assert np.array_equal(res1[k]["tau"], res2[k]["tau"])
         assert os.path.exists(tmp_path / "summary.json")
 
     def test_budget_resume(self, rng, tmp_path):
@@ -127,6 +128,13 @@ class TestMstHarness:
         results = {"CA": (np.array([10, 100]), np.array([0.1, 0.01]))}
         mst.plot_results(results, path=str(tmp_path / "p.png"))
         assert os.path.exists(tmp_path / "p.png")
+        # rich form, both x-axis conventions
+        rich = {"PT=1_P=4": {"tau": np.array([10, 20]),
+                             "total_sweeps": np.array([40, 80]),
+                             "eps": np.array([0.05, 0.03])}}
+        mst.plot_results(rich, path=str(tmp_path / "q.png"))
+        mst.plot_results(rich, path=str(tmp_path / "r.png"), x="tau")
+        assert os.path.exists(tmp_path / "r.png")
 
 
 class TestValidateState:
