@@ -11,6 +11,13 @@ bit-identical in interpreter and compiled modes.
 
 Replaces the reference's qmc.QuantumAnneal[Global] hot loops
 (qmc.pyx:97-143, 405-438).
+
+Hardware status (2026-08, axon-tunneled v5e): compiles and runs on the
+real chip after the schedule-chunk tile alignment fix (see
+pallas_sa._align_sched_chunk); compiled output is BITWISE IDENTICAL to
+the TPU-semantics interpreter (8x8 lattice, P=4, 24 steps, 2 chains).
+The XLA space-time-colored path (ops/split.py) remains the production
+engine — see the pallas_sa.py deployment note for throughput context.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from montecarlosolvers_tpu.ops.pallas_sa import (
+    _align_sched_chunk,
     LANE,
     SUBLANE,
     _pad_up,
@@ -164,7 +172,7 @@ def anneal_lattice_qmc(lat, a_sched, b_sched, temp, confs, seed, mcsteps=1,
         a = np.repeat(a, mcsteps)
         b = np.repeat(b, mcsteps)
     total = int(a.shape[0])
-    chunk = int(min(chunk, total))
+    chunk = _align_sched_chunk(chunk, total)
     padded_len = _pad_up(total, chunk)
     a_p = np.zeros(padded_len, np.float32)
     b_p = np.zeros(padded_len, np.float32)

@@ -17,15 +17,23 @@ Replaces the hot loop of sa.Anneal (sa.pyx:81-99) with the checkerboard
 update (2 phases/sweep); statistical equivalence is validated by the exact
 Gibbs-distribution check in tests/test_pallas.py.
 
-Deployment note (2026-08, axon-tunneled v5e): this environment's remote
-Mosaic compile service both compiles pathologically slowly and emits
-unoptimized code (~300x slower execution than the XLA roll path). Round-2
-re-check: a single benchmark-shape kernel compile did not finish within
-11 minutes (a toy kernel took 368 s earlier the same day), so no
-compiled-run datapoint is obtainable here; the kernel stays validated
-through the TPU-semantics interpreter and kept as the
-direct-attached-TPU fast path. bench.py uses the XLA split-checkerboard
-path, which runs at ~5x the 1e10 attempts/s north star.
+Deployment note (2026-08, axon-tunneled v5e), updated round 3: the
+kernel now COMPILES AND RUNS ON HARDWARE. Two findings unblocked it:
+(a) benchmark-shape compiles previously died on a Mosaic layout
+verification error — XLA tiles 1-D f32 operands at 1024 elements, so a
+schedule-stream block of 512 mismatched ("XLA layout ({0:T(1024)}) does
+not match Mosaic layout ({0:T(512)})"); _align_sched_chunk now bumps the
+chunk to the tile boundary, after which the santoro-shape kernel
+compiled in 9.5 s (the round-2 "11-minute compile" was this failure
+path plus service pathology — a toy kernel still took 308 s in one
+process and 10 s in another, the remote service is erratic).
+(b) Compiled-vs-interpreter outputs are BITWISE IDENTICAL (8x8 lattice,
+32 steps, 8 chains — the counter-hash RNG makes this exact), so the
+kernel is hardware-validated, not just interpreter-validated.
+Throughput of the compiled kernel is 6.6e8 att/s (santoro shape, 64
+chains) — ~75x below the XLA split-checkerboard path (5e10): the Mosaic
+emission here is unoptimized, and the XLA path remains production.
+bench.py uses the XLA path, ~5x the 1e10 attempts/s north star.
 """
 
 from __future__ import annotations
@@ -45,6 +53,21 @@ SUBLANE = 8
 
 def _pad_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _align_sched_chunk(chunk, total):
+    """Schedule-stream block size compatible with XLA's operand layout.
+
+    XLA lays 1-D f32 operands out in 1024-element tiles; a BlockSpec
+    smaller than the tile fails Mosaic layout verification on hardware
+    ("XLA layout ({0:T(1024)}) does not match Mosaic layout ({0:T(512)})
+    ... Try changing your kernel block shape", observed on v5e). Arrays
+    no larger than one block are unaffected.
+    """
+    chunk = int(min(chunk, total))
+    if total > chunk and chunk % 1024:
+        chunk = min(_pad_up(chunk, 1024), _pad_up(total, 1024))
+    return chunk
 
 
 def padded_planes(lat):
@@ -241,7 +264,7 @@ def anneal_lattice(lat, sched, spins, seed, mcsteps=1, chain_block=32,
     if mcsteps > 1:
         sched = np.repeat(sched, mcsteps)
     total = int(sched.shape[0])
-    chunk = int(min(chunk, total))
+    chunk = _align_sched_chunk(chunk, total)
     padded_len = _pad_up(total, chunk)
     sched_padded = np.zeros(padded_len, dtype=np.float32)
     sched_padded[:total] = sched  # pad never used: kernel masks t >= total

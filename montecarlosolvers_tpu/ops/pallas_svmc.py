@@ -5,6 +5,11 @@ Whole spin-vector Monte Carlo anneal (svmc.pyx:21-229 semantics) in one
 checkerboard phases, optional transverse-field-informed proposals
 (svmc.pyx:198-207), counter-hash RNG (two uniforms per site per sweep:
 proposal + acceptance). Same deployment note as pallas_sa.py applies.
+
+Hardware status (2026-08, axon-tunneled v5e): compiles and runs on the
+real chip after the schedule-chunk tile alignment fix (see
+pallas_sa._align_sched_chunk); compiled output is BITWISE IDENTICAL to
+the TPU-semantics interpreter (8x8 lattice, 24 steps, 4 chains).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from montecarlosolvers_tpu.ops.pallas_sa import (
+    _align_sched_chunk,
     _pad_up,
     _mix32,
     _uniform01,
@@ -125,7 +131,7 @@ def anneal_lattice_svmc(lat, a_sched, b_sched, temp, theta, seed, mcsteps=1,
         a = np.repeat(a, mcsteps)
         b = np.repeat(b, mcsteps)
     total = int(a.shape[0])
-    chunk = int(min(chunk, total))
+    chunk = _align_sched_chunk(chunk, total)
     padded_len = _pad_up(total, chunk)
     a_p = np.ones(padded_len, np.float32)
     b_p = np.ones(padded_len, np.float32)
