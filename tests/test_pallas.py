@@ -117,3 +117,33 @@ class TestKernel:
         )
         assert out.shape == (2, 25)
         assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
+class TestSchedChunkAlignment:
+    def test_align_rules(self):
+        """Hardware constraint: XLA tiles 1-D f32 operands at 1024, so a
+        multi-block schedule stream must use a 1024-multiple block size
+        (Mosaic layout verification fails otherwise on the real chip)."""
+        align = pallas_sa._align_sched_chunk
+        # single-block schedules are untouched (no tiling conflict)
+        assert align(512, 300) == 300
+        assert align(512, 512) == 512
+        # multi-block streams are bumped to the tile boundary
+        assert align(512, 4096) == 1024
+        assert align(1000, 5000) == 1024
+        assert align(2048, 8192) == 2048  # already a multiple
+        # never exceeds the padded total
+        assert align(512, 1100) == 1024  # ceil(1100/1024)*1024 = 2048 > 1024
+
+    def test_alignment_preserves_results(self, rng):
+        """Bumping the chunk must not change sampling (the schedule is
+        consumed stepwise; block size is pure streaming granularity)."""
+        lat, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        key = jax.random.key(7)
+        s0 = sa.random_state(key, 16, batch=(2,))
+        sched = schedules.linear(2.5, 0.0, 96)
+        a = pallas_sa.anneal_lattice(lat, sched, s0, seed=4, chunk=24,
+                                     interpret=True)
+        b = pallas_sa.anneal_lattice(lat, sched, s0, seed=4, chunk=96,
+                                     interpret=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
