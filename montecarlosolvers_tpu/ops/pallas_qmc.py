@@ -16,8 +16,12 @@ Hardware status (2026-08, axon-tunneled v5e): compiles and runs on the
 real chip after the schedule-chunk tile alignment fix (see
 pallas_sa._align_sched_chunk); compiled output is BITWISE IDENTICAL to
 the TPU-semantics interpreter (8x8 lattice, P=4, 24 steps, 2 chains).
-The XLA space-time-colored path (ops/split.py) remains the production
-engine — see the pallas_sa.py deployment note for throughput context.
+Jitted slope-timed throughput at the benchmark shape (P=40, global
+moves, 16 chains, chain_block=2): 1.26e10 att/s — 1.26x the 1e10 north
+star, vs 2.5e10 for the XLA split space-time path (ops/split.py), which
+remains the production engine; the ~2x is the full-plane color-phase
+waste (see the pallas_sa.py deployment note, incl. the jit-wrapping
+requirement).
 """
 
 from __future__ import annotations
@@ -188,8 +192,30 @@ def anneal_lattice_qmc(lat, a_sched, b_sched, temp, confs, seed, mcsteps=1,
     sp = jnp.zeros((chains, slices, R, C), dtype=jnp.float32)
     sp = sp.at[:, :, :L, :L].set(confs.reshape(chains, slices, L, L))
 
+    out = _run_qmc(
+        jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p),
+        jnp.asarray(b_p), planes, sp, cb=cb, chunk=chunk, total=total, L=L,
+        row_wrap=row_wrap, col_wrap=col_wrap, m=m, temp=float(temp),
+        global_moves=global_moves, interpret=interpret,
+    )
+    out = out[:, :, :L, :L].reshape(chains, slices, L * L)
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "chunk", "total", "L", "row_wrap", "col_wrap",
+                     "m", "temp", "global_moves", "interpret"),
+)
+def _run_qmc(seed, a_p, b_p, planes, sp, *, cb, chunk, total, L, row_wrap,
+             col_wrap, m, temp, global_moves, interpret):
+    # jit-wrapped: a bare pallas_call re-lowers (and, through a remote-
+    # compile service, RECOMPILES — ~21 s/call observed on the axon
+    # tunnel) on every invocation; under jit repeat calls hit the
+    # executable cache.
+    chains, slices, R, C = sp.shape
     n_blocks = chains // cb
-    n_chunks = padded_len // chunk
+    n_chunks = a_p.shape[0] // chunk
 
     plane_spec = pl.BlockSpec((R, C), lambda i, j, *_: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -209,18 +235,18 @@ def anneal_lattice_qmc(lat, a_sched, b_sched, temp, confs, seed, mcsteps=1,
     )
     kernel = functools.partial(
         _qmc_kernel, chunk=chunk, total_steps=total, L=L,
-        row_wrap=row_wrap, col_wrap=col_wrap, m=m, temp=float(temp),
+        row_wrap=row_wrap, col_wrap=col_wrap, m=m, temp=temp,
         global_moves=global_moves,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(sp.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # benchmark shapes exceed the default 16 MiB scoped-VMEM cap
+            # (P=40 state block + roll temporaries); v5e has 128 MiB.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p), jnp.asarray(b_p),
-      *planes, sp)
-    out = out[:, :, :L, :L].reshape(chains, slices, L * L)
-    return out[0] if squeeze else out
+    )(seed, a_p, b_p, *planes, sp)

@@ -18,22 +18,29 @@ update (2 phases/sweep); statistical equivalence is validated by the exact
 Gibbs-distribution check in tests/test_pallas.py.
 
 Deployment note (2026-08, axon-tunneled v5e), updated round 3: the
-kernel now COMPILES AND RUNS ON HARDWARE. Two findings unblocked it:
+kernel COMPILES AND RUNS ON HARDWARE. Three findings unblocked it:
 (a) benchmark-shape compiles previously died on a Mosaic layout
 verification error — XLA tiles 1-D f32 operands at 1024 elements, so a
 schedule-stream block of 512 mismatched ("XLA layout ({0:T(1024)}) does
 not match Mosaic layout ({0:T(512)})"); _align_sched_chunk now bumps the
 chunk to the tile boundary, after which the santoro-shape kernel
-compiled in 9.5 s (the round-2 "11-minute compile" was this failure
-path plus service pathology — a toy kernel still took 308 s in one
-process and 10 s in another, the remote service is erratic).
+compiled in ~10 s (the round-2 "11-minute compile" was this failure
+path plus service pathology — the remote service is erratic, same
+compile 2.5-360 s across processes).
 (b) Compiled-vs-interpreter outputs are BITWISE IDENTICAL (8x8 lattice,
 32 steps, 8 chains — the counter-hash RNG makes this exact), so the
 kernel is hardware-validated, not just interpreter-validated.
-Throughput of the compiled kernel is 6.6e8 att/s (santoro shape, 64
-chains) — ~75x below the XLA split-checkerboard path (5e10): the Mosaic
-emission here is unoptimized, and the XLA path remains production.
-bench.py uses the XLA path, ~5x the 1e10 attempts/s north star.
+(c) A bare pallas_call re-lowers and remote-RECOMPILES on every
+invocation (~21 s/call through the tunnel) — _run_pallas is jitted so
+repeat calls hit the executable cache. An earlier "6.6e8 att/s, ~75x
+slow" reading was THIS artifact, not kernel speed.
+Jitted slope-timed hardware throughput: 2.4e10 att/s at 64 chains
+(1.96e10 at 32, i.e. one VMEM-resident block) — 2.4x the 1e10 north
+star at 10x fewer chains than the XLA split-checkerboard path needs for
+its 5.1e10. The remaining ~2x to the XLA path is structural: the
+full-plane checkerboard computes every site each phase but flips only
+one parity, where the split layout computes exactly the updated half.
+bench.py keeps the XLA path as production.
 """
 
 from __future__ import annotations
@@ -193,8 +200,17 @@ def _sa_kernel(seed_ref, sched_ref, jr, jl, jd, ju, h, s_in, s_out, *,
     jax.lax.fori_loop(0, chunk, step, 0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("chain_block", "chunk", "total_steps", "L", "row_wrap",
+                     "col_wrap", "interpret"),
+)
 def _run_pallas(planes, sched_padded, spins_padded, seed, *, chain_block,
                 chunk, total_steps, L, row_wrap, col_wrap, interpret):
+    # jit-wrapped: a bare pallas_call re-lowers (and, through a remote-
+    # compile service, RECOMPILES — ~21 s/call observed on the axon
+    # tunnel) on every invocation; under jit repeat calls hit the
+    # executable cache.
     jr, jl, jd, ju, h = planes
     chains, R, C = spins_padded.shape
     n_blocks = chains // chain_block
@@ -229,6 +245,9 @@ def _run_pallas(planes, sched_padded, spins_padded, seed, *, chain_block,
         out_shape=jax.ShapeDtypeStruct(spins_padded.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # large chain blocks exceed the default 16 MiB scoped-VMEM cap
+            # (state block + roll temporaries); v5e has 128 MiB.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interp,
     )(seed, sched_padded, jr, jl, jd, ju, h, spins_padded)

@@ -10,6 +10,10 @@ Hardware status (2026-08, axon-tunneled v5e): compiles and runs on the
 real chip after the schedule-chunk tile alignment fix (see
 pallas_sa._align_sched_chunk); compiled output is BITWISE IDENTICAL to
 the TPU-semantics interpreter (8x8 lattice, 24 steps, 4 chains).
+Jitted slope-timed throughput (256 chains, TF proposals): 3.1e9 rotor
+attempts/s vs 9.8e9 for the XLA split engine, which remains production
+(trig-heavy phases amplify the full-plane color-phase waste; see the
+pallas_sa.py deployment note, incl. the jit-wrapping requirement).
 """
 
 from __future__ import annotations
@@ -145,8 +149,30 @@ def anneal_lattice_svmc(lat, a_sched, b_sched, temp, theta, seed, mcsteps=1,
     sp = jnp.zeros((chains, R, C), dtype=jnp.float32)
     sp = sp.at[:, :L, :L].set(theta.reshape(chains, L, L))
 
+    out = _run_svmc(
+        jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p),
+        jnp.asarray(b_p), planes, sp, cb=cb, chunk=chunk, total=total, L=L,
+        row_wrap=row_wrap, col_wrap=col_wrap, temp=float(temp), tf=tf,
+        interpret=interpret,
+    )
+    out = out[:, :L, :L].reshape(chains, L * L)
+    return out[0] if squeeze else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "chunk", "total", "L", "row_wrap", "col_wrap",
+                     "temp", "tf", "interpret"),
+)
+def _run_svmc(seed, a_p, b_p, planes, sp, *, cb, chunk, total, L, row_wrap,
+              col_wrap, temp, tf, interpret):
+    # jit-wrapped: a bare pallas_call re-lowers (and, through a remote-
+    # compile service, RECOMPILES — ~21 s/call observed on the axon
+    # tunnel) on every invocation; under jit repeat calls hit the
+    # executable cache.
+    chains, R, C = sp.shape
     n_blocks = chains // cb
-    n_chunks = padded_len // chunk
+    n_chunks = a_p.shape[0] // chunk
     plane_spec = pl.BlockSpec((R, C), lambda i, j, *_: (0, 0),
                               memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((cb, R, C), lambda i, j, *_: (i, 0, 0),
@@ -163,17 +189,17 @@ def anneal_lattice_svmc(lat, a_sched, b_sched, temp, theta, seed, mcsteps=1,
     )
     kernel = functools.partial(
         _svmc_kernel, chunk=chunk, total_steps=total, L=L,
-        row_wrap=row_wrap, col_wrap=col_wrap, temp=float(temp), tf=tf,
+        row_wrap=row_wrap, col_wrap=col_wrap, temp=temp, tf=tf,
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(sp.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # large chain blocks exceed the default 16 MiB scoped-VMEM cap
+            # (state block + roll/trig temporaries); v5e has 128 MiB.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p), jnp.asarray(b_p),
-      *planes, sp)
-    out = out[:, :L, :L].reshape(chains, L * L)
-    return out[0] if squeeze else out
+    )(seed, a_p, b_p, *planes, sp)
