@@ -244,6 +244,58 @@ def _piqmc_bath_arm(problem):
     return _measure_rate(run, (200, 600), problem.nspins * P * chains)
 
 
+def _pallas_arm(problem):
+    """Fused split-layout Pallas SA kernel (ops/pallas_split.py), hardware
+    PRNG, 128 chains. Run last and generously budget-gated: the remote
+    Mosaic compile service is erratic (same kernel 19 s-8 min); the
+    watchdog bounds a pathological compile."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.ops import pallas_split
+    from montecarlosolvers_tpu.solvers import sa
+    from montecarlosolvers_tpu import schedules
+
+    chains = 128
+    s0 = sa.random_state(jax.random.key(5), problem.nspins, batch=(chains,))
+
+    def run(tau, seed):
+        out = pallas_split.anneal_lattice_split(
+            problem, schedules.linear(3.0, 0.0, tau), s0, seed,
+            hw_rng=True,
+        )
+        float(jnp.sum(out[..., 0]))
+
+    return _measure_rate(run, (16384, 65536), problem.nspins * chains,
+                         trials=2)
+
+
+def _pallas_qmc_arm(problem):
+    """Fused split-layout Pallas PIQMC kernel at the flagship shape
+    (P=40, local+global, 16 chains, chain_block=4) — measured above the
+    XLA split engine (2.8e10 vs 2.5e10 att/s on v5e)."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.ops import pallas_split
+    from montecarlosolvers_tpu.solvers import sa, qmc
+    from montecarlosolvers_tpu import schedules
+
+    P, chains = 40, 16
+    confs = qmc.replicate(
+        sa.random_state(jax.random.key(6), problem.nspins, batch=(chains,)), P
+    )
+
+    def run(tau, seed):
+        a = schedules.transverse_field(3.0, 1e-8, tau)
+        out = pallas_split.anneal_lattice_qmc_split(
+            problem, a, jnp.ones_like(a), 1.0 / P, confs, seed,
+            chain_block=4, global_moves=True,
+        )
+        float(jnp.sum(out[..., 0, 0]))
+
+    return _measure_rate(run, (2048, 8192), problem.nspins * P * chains,
+                         trials=2)
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -308,6 +360,26 @@ def main():
                  **({"piqmc_bath_degraded": True} if info.get("degraded") else {}))
         except Exception as e:  # noqa: BLE001
             _set(error_piqmc_bath=repr(e)[:200])
+        _emit()
+
+    # --- fused Pallas split kernels (compile service permitting) -------
+    if _remaining() > 240:
+        try:
+            rate, info = _pallas_arm(problem)
+            _set(pallas_sa_attempts_per_sec=rate,
+                 **({"pallas_sa_degraded": True} if info.get("degraded") else {}))
+        except Exception as e:  # noqa: BLE001
+            _set(error_pallas_sa=repr(e)[:200])
+        _emit()
+
+    if _remaining() > 180:
+        try:
+            rate, info = _pallas_qmc_arm(problem)
+            _set(pallas_piqmc_attempts_per_sec=rate,
+                 **({"pallas_piqmc_degraded": True}
+                    if info.get("degraded") else {}))
+        except Exception as e:  # noqa: BLE001
+            _set(error_pallas_piqmc=repr(e)[:200])
 
     _DONE.set()
     _emit()

@@ -26,7 +26,21 @@ seeded per (seed, block, chunk)).
 
 Replaces the hot loop of sa.Anneal (sa.pyx:81-99) in its
 checkerboard-phase form; statistical semantics identical to
-ops/split.sa_split_sweep (same fields, same Metropolis rule).
+ops/split.sa_split_sweep (same fields, same Metropolis rule). The PIQMC
+variant (anneal_lattice_qmc_split) is the in-kernel form of
+ops/split.qmc_split_sweep + qmc_split_global (qmc.pyx:97-143, 405-438).
+
+Hardware status (2026-08, axon-tunneled v5e): both kernels compile, run,
+and match the interpreter BITWISE (SA: L=16/L=32 lattices; PIQMC:
+L=16, P=4, global moves). Jitted slope-timed rates on the santoro
+80x80 benchmark: SA ~5e10 att/s at 64-512 chains — 5.6e10 at 128
+chains with hw_rng=True — reaching the XLA split engine's peak
+(5.1e10 at 640 chains) with 5-10x fewer chains; PIQMC P=40
+local+global 2.8e10 att/s at 16 chains, chain_block=4, ABOVE the XLA
+split engine's 2.5e10 at the same batch. Run-to-run spread through the
+tunnel is ~±30%; the remote Mosaic compile service is erratic (the
+same santoro-shape SA kernel compiled in 19 s and 8 min on different
+attempts), so bench.py keeps these as budget-gated extra arms.
 """
 
 from __future__ import annotations
@@ -56,17 +70,19 @@ def _flat_roll(x, s, col):
     R2-1, matching jnp.roll on the flat axis)."""
     C = x.shape[-1]
     R2 = x.shape[-2]
+    lane_ax = x.ndim - 1
+    sub_ax = x.ndim - 2
     if s > 0:
-        xr = pltpu.roll(x, s % C, 2) if s % C else x
+        xr = pltpu.roll(x, s % C, lane_ax) if s % C else x
         if R2 == 1:
             return xr
-        xc = pltpu.roll(xr, 1, 1)
+        xc = pltpu.roll(xr, 1, sub_ax)
         return jnp.where(col >= s, xr, xc) if s < C else xc
     m = -s
-    xr = pltpu.roll(x, (C - m) % C, 2) if m % C else x
+    xr = pltpu.roll(x, (C - m) % C, lane_ax) if m % C else x
     if R2 == 1:
         return xr
-    xc = pltpu.roll(xr, R2 - 1, 1)
+    xc = pltpu.roll(xr, R2 - 1, sub_ax)
     return jnp.where(col < C - m, xr, xc) if m < C else xc
 
 
@@ -104,7 +120,8 @@ def _split_kernel(seed_ref, sched_ref, wa, wb, ha, hb, a_in, b_in,
     chain_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * shape[0]
     seed = seed_ref[0]
     if hw_rng:
-        pltpu.prng_seed(seed, i, j)
+        # prng_seed accepts at most 2 scalars; fold (block, chunk) into one
+        pltpu.prng_seed(seed, i * jnp.int32(1 << 16) + j)
 
     def uniforms(t_global, color):
         if hw_rng:
@@ -191,6 +208,259 @@ def _run_split(seed, sched_p, wa, wb, ha, hb, a, b, *, cb, chunk, total, K,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, sched_p, wa, wb, ha, hb, a, b)
+
+
+# ------------------------------------------------------------------- PIQMC
+#
+# In-kernel form of ops/split.qmc_split_sweep / qmc_split_global: the four
+# quarter-volume arrays (xe, xo, ye, yo), each (cb, Q=P/2, R2, C), stay
+# VMEM-resident across the whole schedule. Per step, phase X updates
+# (xe, xo) against the y quarters (spatial flat rolls + one Trotter q-roll
+# each), phase Y against the fresh x quarters, then optional whole-line
+# global moves reduce over the Q axis in-register (J_perp cancels,
+# qmc.pyx:405-438). J_perp is recomputed on-chip from the streamed Gamma
+# schedule each step (qmc.pyx:95).
+
+
+def _q_roll(x, up):
+    """Trotter-ring roll by +/-1 along the Q axis of (cb, Q, R2, C)."""
+    return pltpu.roll(x, 1 if up else x.shape[1] - 1, 1)
+
+
+def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
+                      xe_in, xo_in, ye_in, yo_in, xe, xo, ye, yo, *,
+                      chunk, total_steps, K, nslots, nh, temp,
+                      global_moves):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xe[:] = xe_in[:]
+        xo[:] = xo_in[:]
+        ye[:] = ye_in[:]
+        yo[:] = yo_in[:]
+
+    shape = xe.shape  # (cb, Q, R2, C)
+    Q = shape[1]
+    slices = 2 * Q
+    teff = temp * slices
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 2) * jnp.int32(shape[3])
+        + col
+    )
+    qid = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    chain_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * shape[0]
+    seed = seed_ref[0]
+
+    gshape = (shape[0], shape[2], shape[3])
+    gcol = jax.lax.broadcasted_iota(jnp.int32, gshape, 2)
+    gflat = (
+        jax.lax.broadcasted_iota(jnp.int32, gshape, 1) * jnp.int32(shape[3])
+        + gcol
+    )
+    gchain = jax.lax.broadcasted_iota(jnp.int32, gshape, 0) + i * shape[0]
+
+    def ctr(t_global, idx):
+        return (
+            seed * jnp.int32(2654435761 - (1 << 32))
+            + t_global * jnp.int32(40503)
+            + jnp.int32(idx) * jnp.int32(1013904223)
+        )
+
+    def u_quarter(t_global, idx):
+        uid = (
+            chain_ids * jnp.int32(4 * Q * nh)
+            + jnp.int32(idx * Q * nh) + qid * jnp.int32(nh) + flat
+        )
+        return _uniform01(ctr(t_global, idx), uid)
+
+    def u_line(t_global, color):
+        uid = gchain * jnp.int32(2 * nh) + jnp.int32(color * nh) + gflat
+        return _uniform01(ctr(t_global, 4 + color), uid)
+
+    def step(t, _):
+        t_global = j * chunk + t
+
+        @pl.when(t_global < total_steps)
+        def _():
+            gamma = a_ref[t]
+            bcur = b_ref[t]
+            jp = -(teff / 2.0) * jnp.log(jnp.tanh(gamma / teff))
+            bc = -2.0 * bcur
+
+            def upd(s_ref, o, w, h, tr, idx):
+                s = s_ref[:]
+                f = _half_field(o, w, col, K, nslots) + h[:]
+                de = bc * s * f + 2.0 * s * jp * tr
+                u = u_quarter(t_global, idx)
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                s_ref[:] = jnp.where(acc, -s, s)
+
+            # phase X: xe against (ye spatial, yo ring), xo against (yo, ye)
+            upd(xe, ye[:], wa, ha, yo[:] + _q_roll(yo[:], True), 0)
+            upd(xo, yo[:], wb, hb, ye[:] + _q_roll(ye[:], False), 1)
+            # phase Y against the updated X
+            upd(ye, xe[:], wb, hb, xo[:] + _q_roll(xo[:], True), 2)
+            upd(yo, xo[:], wa, ha, xe[:] + _q_roll(xe[:], False), 3)
+
+            if global_moves:
+                # color A lines: sites xe + yo, spatial neighbors ye / xo
+                de = bc * (
+                    jnp.sum(
+                        xe[:] * (_half_field(ye[:], wa, col, K, nslots)
+                                 + ha[:]),
+                        axis=1,
+                    )
+                    + jnp.sum(
+                        yo[:] * (_half_field(xo[:], wa, col, K, nslots)
+                                 + ha[:]),
+                        axis=1,
+                    )
+                )
+                u = u_line(t_global, 0)
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                m = jnp.where(acc, -1.0, 1.0)[:, None, :, :]
+                xe[:] = xe[:] * m
+                yo[:] = yo[:] * m
+                # color B lines, against the updated A quarters
+                de = bc * (
+                    jnp.sum(
+                        ye[:] * (_half_field(xe[:], wb, col, K, nslots)
+                                 + hb[:]),
+                        axis=1,
+                    )
+                    + jnp.sum(
+                        xo[:] * (_half_field(yo[:], wb, col, K, nslots)
+                                 + hb[:]),
+                        axis=1,
+                    )
+                )
+                u = u_line(t_global, 1)
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                m = jnp.where(acc, -1.0, 1.0)[:, None, :, :]
+                ye[:] = ye[:] * m
+                xo[:] = xo[:] * m
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "chunk", "total", "K", "nslots", "temp",
+                     "global_moves", "interpret"),
+)
+def _run_qmc_split(seed, a_p, b_p, wa, wb, ha, hb, quarters, *, cb, chunk,
+                   total, K, nslots, temp, global_moves, interpret):
+    chains, Q, R2, C = quarters[0].shape
+    nh = R2 * C
+    n_blocks = chains // cb
+    n_chunks = a_p.shape[0] // chunk
+
+    w_spec = pl.BlockSpec((nslots, R2, C), lambda i, j, *_: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((R2, C), lambda i, j, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((cb, Q, R2, C), lambda i, j, *_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sched_spec = pl.BlockSpec((chunk,), lambda i, j, *_: (j,),
+                              memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_chunks),
+        in_specs=[sched_spec, sched_spec, w_spec, w_spec, h_spec, h_spec,
+                  state_spec, state_spec, state_spec, state_spec],
+        out_specs=(state_spec,) * 4,
+    )
+    kernel = functools.partial(
+        _qmc_split_kernel, chunk=chunk, total_steps=total, K=K,
+        nslots=nslots, nh=nh, temp=temp, global_moves=global_moves,
+    )
+    st = jax.ShapeDtypeStruct(quarters[0].shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(st,) * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, a_p, b_p, wa, wb, ha, hb, *quarters)
+
+
+def anneal_lattice_qmc_split(lat, a_sched, b_sched, temp, confs, seed,
+                             mcsteps=1, global_moves=True, chain_block=2,
+                             chunk=256, interpret=False):
+    """Fused split-layout PIQMC anneal on a LatticeProblem.
+
+    Same shape requirements as anneal_lattice_split, plus even P.
+
+    Args:
+      confs: (chains, P, N) float32 +/-1 slices-major Trotter states.
+      temp: ambient temperature (T_eff = P * temp, qmc.pyx:85).
+      global_moves: whole-line flips after each local sweep
+        (qmc.QuantumAnnealGlobal, qmc.pyx:284-438).
+
+    Returns:
+      (chains, P, N) annealed states.
+    """
+    L = lat.L
+    nh = L * L // 2
+    if L % 2 or nh % LANE or L // 2 > LANE:
+        raise ValueError(
+            f"split fused kernel needs even L, L*L/2 % {LANE} == 0 and "
+            f"L/2 <= {LANE} (got L={L}); use pallas_qmc.anneal_lattice_qmc"
+        )
+    confs = jnp.asarray(confs, dtype=jnp.float32)
+    squeeze = confs.ndim == 2
+    if squeeze:
+        confs = confs[None]
+    chains, slices, _ = confs.shape
+    if slices % 2:
+        raise ValueError("split fused PIQMC needs even P")
+    R2, C = nh // LANE, LANE
+    Q = slices // 2
+
+    sl = split_mod.build_split(lat)
+    quarters = [
+        q.reshape(chains, Q, R2, C) for q in split_mod.pack_qmc(sl, confs)
+    ]
+    nslots = int(sl.w_ab.shape[0])
+    wa = jnp.asarray(sl.w_ab[:, 0]).reshape(nslots, R2, C)
+    wb = jnp.asarray(sl.w_ab[:, 1]).reshape(nslots, R2, C)
+    ha = jnp.asarray(sl.h_ab[0]).reshape(R2, C)
+    hb = jnp.asarray(sl.h_ab[1]).reshape(R2, C)
+
+    a = np.asarray(a_sched, dtype=np.float32)
+    b = np.asarray(b_sched, dtype=np.float32)
+    if mcsteps > 1:
+        a = np.repeat(a, mcsteps)
+        b = np.repeat(b, mcsteps)
+    total = int(a.shape[0])
+    chunk = _align_sched_chunk(chunk, total)
+    padded_len = _pad_up(total, chunk)
+    a_p = np.ones(padded_len, np.float32)  # pad masked; keep log/tanh finite
+    b_p = np.ones(padded_len, np.float32)
+    a_p[:total] = a
+    b_p[:total] = b
+
+    cb = min(chain_block, chains)
+    while chains % cb:
+        cb -= 1
+
+    xe, xo, ye, yo = _run_qmc_split(
+        jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p),
+        jnp.asarray(b_p), wa, wb, ha, hb, tuple(quarters), cb=int(cb),
+        chunk=chunk, total=total, K=L // 2, nslots=nslots,
+        temp=float(temp), global_moves=global_moves, interpret=interpret,
+    )
+    out = split_mod.unpack_qmc(
+        sl, *(q.reshape(chains, Q, nh) for q in (xe, xo, ye, yo))
+    )
+    return out[0] if squeeze else out
 
 
 def anneal_lattice_split(lat, sched, spins, seed, mcsteps=1, chain_block=32,

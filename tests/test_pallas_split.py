@@ -131,3 +131,121 @@ class TestOracle:
                 lat, schedules.linear(1.0, 0.0, 4), s0, seed=0,
                 interpret=True
             )
+
+
+def oracle_qmc(lat, a_sched, b_sched, temp, confs, seed, global_moves):
+    """Replay _qmc_split_kernel's update in plain JAX on the quarters."""
+    sl = split.build_split(lat)
+    xe, xo, ye, yo = split.pack_qmc(sl, confs)
+    chains, Q, nh = xe.shape
+    slices = 2 * Q
+    teff = temp * slices
+    K = sl.K
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+    flat = jnp.arange(nh, dtype=jnp.int32)
+    qid = jnp.arange(Q, dtype=jnp.int32)
+    chain = jnp.arange(chains, dtype=jnp.int32)
+    seed32 = jnp.int32(seed)
+
+    def ctr(t, idx):
+        return (
+            seed32 * jnp.int32(2654435761 - (1 << 32))
+            + jnp.int32(t) * jnp.int32(40503)
+            + jnp.int32(idx) * jnp.int32(1013904223)
+        )
+
+    def u_quarter(t, idx):
+        uid = (
+            chain[:, None, None] * jnp.int32(4 * Q * nh)
+            + jnp.int32(idx * Q * nh)
+            + qid[None, :, None] * jnp.int32(nh)
+            + flat[None, None, :]
+        )
+        return _uniform01(ctr(t, idx), uid)
+
+    def u_line(t, color):
+        uid = (
+            chain[:, None] * jnp.int32(2 * nh) + jnp.int32(color * nh)
+            + flat[None, :]
+        )
+        return _uniform01(ctr(t, 4 + color), uid)
+
+    def accept(de, u):
+        return (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+
+    for t, (gamma, bcur) in enumerate(
+        zip(np.asarray(a_sched, np.float32), np.asarray(b_sched, np.float32))
+    ):
+        gamma = jnp.float32(gamma)
+        jp = -(teff / 2.0) * jnp.log(jnp.tanh(gamma / teff))
+        bc = -2.0 * jnp.float32(bcur)
+
+        def upd(s, o, w, h, tr, idx):
+            de = bc * s * (split._spatial_field(w, o, K) + h) \
+                + 2.0 * s * jp * tr
+            return jnp.where(accept(de, u_quarter(t, idx)), -s, s)
+
+        xe = upd(xe, ye, wa, ha, yo + jnp.roll(yo, 1, axis=-2), 0)
+        xo = upd(xo, yo, wb, hb, ye + jnp.roll(ye, -1, axis=-2), 1)
+        ye = upd(ye, xe, wb, hb, xo + jnp.roll(xo, 1, axis=-2), 2)
+        yo = upd(yo, xo, wa, ha, xe + jnp.roll(xe, -1, axis=-2), 3)
+
+        if global_moves:
+            de = bc * (
+                jnp.sum(xe * (split._spatial_field(wa, ye, K) + ha), axis=-2)
+                + jnp.sum(yo * (split._spatial_field(wa, xo, K) + ha),
+                          axis=-2)
+            )
+            m = jnp.where(accept(de, u_line(t, 0)), -1.0, 1.0)[..., None, :]
+            xe = xe * m
+            yo = yo * m
+            de = bc * (
+                jnp.sum(ye * (split._spatial_field(wb, xe, K) + hb), axis=-2)
+                + jnp.sum(xo * (split._spatial_field(wb, yo, K) + hb),
+                          axis=-2)
+            )
+            m = jnp.where(accept(de, u_line(t, 1)), -1.0, 1.0)[..., None, :]
+            ye = ye * m
+            xo = xo * m
+    return split.unpack_qmc(sl, xe, xo, ye, yo)
+
+
+class TestQmcSplit:
+    @pytest.mark.parametrize(
+        "lat_fn,L,P,gm",
+        [
+            (lambda: periodic_lattice(16, 1), 16, 4, True),
+            (lambda: instances.random_2d_lattice(16, rng=0, lattice=True)[0],
+             16, 4, False),
+            (lambda: instances.random_2d_lattice(32, rng=2, lattice=True)[0],
+             32, 6, True),  # R2=4 seams + odd Q trotter ring
+        ],
+    )
+    def test_bitwise_vs_oracle(self, lat_fn, L, P, gm):
+        lat = lat_fn()
+        rng = np.random.default_rng(0)
+        confs = rng.choice([-1.0, 1.0], size=(2, P, L * L)).astype(np.float32)
+        a = np.linspace(2.5, 1e-8, 12).astype(np.float32)
+        b = np.ones_like(a)
+        out = pallas_split.anneal_lattice_qmc_split(
+            lat, a, b, 1.0 / P, confs, seed=9, global_moves=gm,
+            interpret=True
+        )
+        ref = oracle_qmc(lat, a, b, 1.0 / P, confs, seed=9, global_moves=gm)
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_ferromagnet_orders(self):
+        L, P = 16, 4
+        lat = LatticeProblem.from_planes(-np.ones((L, L)), -np.ones((L, L)))
+        rng = np.random.default_rng(1)
+        confs = rng.choice([-1.0, 1.0], size=(2, P, L * L)).astype(np.float32)
+        a = np.linspace(3.0, 1e-8, 150).astype(np.float32)
+        out = pallas_split.anneal_lattice_qmc_split(
+            lat, a, np.ones_like(a), 1.0 / P, confs, seed=5,
+            global_moves=True, interpret=True
+        )
+        es = np.asarray(
+            jax.vmap(jax.vmap(lat.energy))(jnp.asarray(out))
+        )
+        assert es.min() == -2.0 * L * L
