@@ -210,6 +210,190 @@ def _run_split(seed, sched_p, wa, wb, ha, hb, a, b, *, cb, chunk, total, K,
     )(seed, sched_p, wa, wb, ha, hb, a, b)
 
 
+# -------------------------------------------------------------------- SVMC
+#
+# In-kernel form of ops/split.svmc_split_sweep: rotor angles as halves,
+# each phase proposing + Metropolis-testing one whole half against the
+# other's z-projected field (svmc.pyx:92-117; TF proposal window
+# svmc.pyx:198-207). Two uniforms per site per phase (proposal, accept).
+
+
+def _svmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb, a_in, b_in,
+                       a_out, b_out, *, chunk, total_steps, K, nslots, nh,
+                       temp, tf, hw_rng):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        a_out[:] = a_in[:]
+        b_out[:] = b_in[:]
+
+    shape = a_out.shape  # (cb, R2, C)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 1) * jnp.int32(shape[2])
+        + col
+    )
+    chain_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * shape[0]
+    seed = seed_ref[0]
+    if hw_rng:
+        pltpu.prng_seed(seed, i * jnp.int32(1 << 16) + j)
+    pi = jnp.float32(np.pi)
+
+    def uniforms(t_global, idx):
+        if hw_rng:
+            bits = pltpu.prng_random_bits(shape)
+            b24 = jax.lax.shift_right_logical(bits, 8)
+            return b24.astype(jnp.float32) * (1.0 / (1 << 24))
+        ctr = (
+            seed * jnp.int32(2654435761 - (1 << 32))
+            + t_global * jnp.int32(40503)
+            + jnp.int32(idx) * jnp.int32(1013904223)
+        )
+        uid = (
+            chain_ids * jnp.int32(2 * nh)
+            + jnp.int32((idx % 2) * nh) + flat
+        )
+        return _uniform01(ctr, uid)
+
+    def step(t, _):
+        t_global = j * chunk + t
+
+        @pl.when(t_global < total_steps)
+        def _():
+            ac = a_ref[t]
+            bc = b_ref[t]
+            width = jnp.minimum(ac / bc, 1.0)
+
+            def phase(s_ref, other, w, h, idx):
+                th = s_ref[:]
+                u_p = uniforms(t_global, idx)
+                if tf:
+                    prop = jnp.clip(
+                        th + width * (2.0 * pi * u_p - pi), 0.0, pi
+                    )
+                else:
+                    prop = pi * u_p
+                zf = _half_field(jnp.cos(other), w, col, K, nslots) + h[:]
+                de = bc * (jnp.cos(prop) - jnp.cos(th)) * zf \
+                    + ac * (jnp.sin(th) - jnp.sin(prop))
+                u = uniforms(t_global, idx + 2)
+                acc = (de <= 0.0) | (-temp * jnp.log1p(-u) > de)
+                s_ref[:] = jnp.where(acc, prop, th)
+
+            phase(a_out, b_out[:], wa, ha, 0)
+            phase(b_out, a_out[:], wb, hb, 1)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "chunk", "total", "K", "nslots", "temp", "tf",
+                     "interpret", "hw_rng"),
+)
+def _run_svmc_split(seed, a_p, b_p, wa, wb, ha, hb, a, b, *, cb, chunk,
+                    total, K, nslots, temp, tf, interpret, hw_rng):
+    chains, R2, C = a.shape
+    nh = R2 * C
+    n_blocks = chains // cb
+    n_chunks = a_p.shape[0] // chunk
+
+    w_spec = pl.BlockSpec((nslots, R2, C), lambda i, j, *_: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((R2, C), lambda i, j, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((cb, R2, C), lambda i, j, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sched_spec = pl.BlockSpec((chunk,), lambda i, j, *_: (j,),
+                              memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_chunks),
+        in_specs=[sched_spec, sched_spec, w_spec, w_spec, h_spec, h_spec,
+                  state_spec, state_spec],
+        out_specs=(state_spec, state_spec),
+    )
+    kernel = functools.partial(
+        _svmc_split_kernel, chunk=chunk, total_steps=total, K=K,
+        nslots=nslots, nh=nh, temp=temp, tf=tf, hw_rng=hw_rng,
+    )
+    st = jax.ShapeDtypeStruct(a.shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(st, st),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, a_p, b_p, wa, wb, ha, hb, a, b)
+
+
+def anneal_lattice_svmc_split(lat, a_sched, b_sched, temp, theta, seed,
+                              mcsteps=1, tf=False, chain_block=32,
+                              chunk=512, interpret=False, hw_rng=False):
+    """Fused split-layout SVMC anneal on a LatticeProblem.
+
+    Same shape requirements as anneal_lattice_split.
+    theta: (chains, N) angles in [0, pi]. Returns annealed angles.
+    """
+    L = lat.L
+    nh = L * L // 2
+    if L % 2 or nh % LANE or L // 2 > LANE:
+        raise ValueError(
+            f"split fused kernel needs even L, L*L/2 % {LANE} == 0 and "
+            f"L/2 <= {LANE} (got L={L}); use pallas_svmc.anneal_lattice_svmc"
+        )
+    theta = jnp.asarray(theta, dtype=jnp.float32)
+    squeeze = theta.ndim == 1
+    if squeeze:
+        theta = theta[None]
+    chains = theta.shape[0]
+    R2, C = nh // LANE, LANE
+
+    sl = split_mod.build_split(lat)
+    a, b = split_mod.pack_classical(sl, theta)
+    a = a.reshape(chains, R2, C)
+    b = b.reshape(chains, R2, C)
+    nslots = int(sl.w_ab.shape[0])
+    wa = jnp.asarray(sl.w_ab[:, 0]).reshape(nslots, R2, C)
+    wb = jnp.asarray(sl.w_ab[:, 1]).reshape(nslots, R2, C)
+    ha = jnp.asarray(sl.h_ab[0]).reshape(R2, C)
+    hb = jnp.asarray(sl.h_ab[1]).reshape(R2, C)
+
+    a_s = np.asarray(a_sched, dtype=np.float32)
+    b_s = np.asarray(b_sched, dtype=np.float32)
+    if mcsteps > 1:
+        a_s = np.repeat(a_s, mcsteps)
+        b_s = np.repeat(b_s, mcsteps)
+    total = int(a_s.shape[0])
+    chunk = _align_sched_chunk(chunk, total)
+    padded_len = _pad_up(total, chunk)
+    a_p = np.ones(padded_len, np.float32)  # pad masked; keep A/B finite
+    b_p = np.ones(padded_len, np.float32)
+    a_p[:total] = a_s
+    b_p[:total] = b_s
+
+    cb = min(chain_block, chains)
+    while chains % cb:
+        cb -= 1
+
+    a, b = _run_svmc_split(
+        jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p),
+        jnp.asarray(b_p), wa, wb, ha, hb, a, b, cb=int(cb), chunk=chunk,
+        total=total, K=L // 2, nslots=nslots, temp=float(temp), tf=tf,
+        interpret=interpret, hw_rng=hw_rng,
+    )
+    out = split_mod.unpack_classical(
+        sl, a.reshape(chains, nh), b.reshape(chains, nh)
+    )
+    return out[0] if squeeze else out
+
+
 # ------------------------------------------------------------------- PIQMC
 #
 # In-kernel form of ops/split.qmc_split_sweep / qmc_split_global: the four
@@ -230,7 +414,7 @@ def _q_roll(x, up):
 def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
                       xe_in, xo_in, ye_in, yo_in, xe, xo, ye, yo, *,
                       chunk, total_steps, K, nslots, nh, temp,
-                      global_moves):
+                      global_moves, hw_rng):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -261,6 +445,8 @@ def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
         + gcol
     )
     gchain = jax.lax.broadcasted_iota(jnp.int32, gshape, 0) + i * shape[0]
+    if hw_rng:
+        pltpu.prng_seed(seed, i * jnp.int32(1 << 16) + j)
 
     def ctr(t_global, idx):
         return (
@@ -269,7 +455,14 @@ def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
             + jnp.int32(idx) * jnp.int32(1013904223)
         )
 
+    def _hw_uniform(shp):
+        bits = pltpu.prng_random_bits(shp)
+        b24 = jax.lax.shift_right_logical(bits, 8)
+        return b24.astype(jnp.float32) * (1.0 / (1 << 24))
+
     def u_quarter(t_global, idx):
+        if hw_rng:
+            return _hw_uniform(shape)
         uid = (
             chain_ids * jnp.int32(4 * Q * nh)
             + jnp.int32(idx * Q * nh) + qid * jnp.int32(nh) + flat
@@ -277,6 +470,8 @@ def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
         return _uniform01(ctr(t_global, idx), uid)
 
     def u_line(t_global, color):
+        if hw_rng:
+            return _hw_uniform(gshape)
         uid = gchain * jnp.int32(2 * nh) + jnp.int32(color * nh) + gflat
         return _uniform01(ctr(t_global, 4 + color), uid)
 
@@ -350,10 +545,10 @@ def _qmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb,
 @functools.partial(
     jax.jit,
     static_argnames=("cb", "chunk", "total", "K", "nslots", "temp",
-                     "global_moves", "interpret"),
+                     "global_moves", "interpret", "hw_rng"),
 )
 def _run_qmc_split(seed, a_p, b_p, wa, wb, ha, hb, quarters, *, cb, chunk,
-                   total, K, nslots, temp, global_moves, interpret):
+                   total, K, nslots, temp, global_moves, interpret, hw_rng):
     chains, Q, R2, C = quarters[0].shape
     nh = R2 * C
     n_blocks = chains // cb
@@ -377,6 +572,7 @@ def _run_qmc_split(seed, a_p, b_p, wa, wb, ha, hb, quarters, *, cb, chunk,
     kernel = functools.partial(
         _qmc_split_kernel, chunk=chunk, total_steps=total, K=K,
         nslots=nslots, nh=nh, temp=temp, global_moves=global_moves,
+        hw_rng=hw_rng,
     )
     st = jax.ShapeDtypeStruct(quarters[0].shape, jnp.float32)
     return pl.pallas_call(
@@ -393,7 +589,7 @@ def _run_qmc_split(seed, a_p, b_p, wa, wb, ha, hb, quarters, *, cb, chunk,
 
 def anneal_lattice_qmc_split(lat, a_sched, b_sched, temp, confs, seed,
                              mcsteps=1, global_moves=True, chain_block=2,
-                             chunk=256, interpret=False):
+                             chunk=256, interpret=False, hw_rng=False):
     """Fused split-layout PIQMC anneal on a LatticeProblem.
 
     Same shape requirements as anneal_lattice_split, plus even P.
@@ -456,6 +652,7 @@ def anneal_lattice_qmc_split(lat, a_sched, b_sched, temp, confs, seed,
         jnp.asarray(b_p), wa, wb, ha, hb, tuple(quarters), cb=int(cb),
         chunk=chunk, total=total, K=L // 2, nslots=nslots,
         temp=float(temp), global_moves=global_moves, interpret=interpret,
+        hw_rng=hw_rng,
     )
     out = split_mod.unpack_qmc(
         sl, *(q.reshape(chains, Q, nh) for q in (xe, xo, ye, yo))

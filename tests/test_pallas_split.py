@@ -249,3 +249,97 @@ class TestQmcSplit:
             jax.vmap(jax.vmap(lat.energy))(jnp.asarray(out))
         )
         assert es.min() == -2.0 * L * L
+
+
+def oracle_svmc(lat, a_sched, b_sched, temp, theta, seed, tf):
+    """Replay _svmc_split_kernel's update in plain JAX on the halves."""
+    sl = split.build_split(lat)
+    a, b = split.pack_classical(sl, theta)
+    chains, nh = a.shape
+    K = sl.K
+    pi = jnp.float32(np.pi)
+    flat = jnp.arange(nh, dtype=jnp.int32)[None, :]
+    chain = jnp.arange(chains, dtype=jnp.int32)[:, None]
+    seed32 = jnp.int32(seed)
+
+    def uniforms(t, idx):
+        ctr = (
+            seed32 * jnp.int32(2654435761 - (1 << 32))
+            + jnp.int32(t) * jnp.int32(40503)
+            + jnp.int32(idx) * jnp.int32(1013904223)
+        )
+        uid = chain * jnp.int32(2 * nh) + jnp.int32((idx % 2) * nh) + flat
+        return _uniform01(ctr, uid)
+
+    for t, (ac, bc) in enumerate(
+        zip(np.asarray(a_sched, np.float32), np.asarray(b_sched, np.float32))
+    ):
+        ac = jnp.float32(ac)
+        bc = jnp.float32(bc)
+        width = jnp.minimum(ac / bc, 1.0)
+
+        def phase(th, other, w, h, idx):
+            u_p = uniforms(t, idx)
+            if tf:
+                prop = jnp.clip(th + width * (2.0 * pi * u_p - pi), 0.0, pi)
+            else:
+                prop = pi * u_p
+            zf = split._spatial_field(w, jnp.cos(other), K) + h
+            de = bc * (jnp.cos(prop) - jnp.cos(th)) * zf \
+                + ac * (jnp.sin(th) - jnp.sin(prop))
+            u = uniforms(t, idx + 2)
+            acc = (de <= 0.0) | (-temp * jnp.log1p(-u) > de)
+            return jnp.where(acc, prop, th)
+
+        a = phase(a, b, sl.w_ab[:, 0], sl.h_ab[0], 0)
+        b = phase(b, a, sl.w_ab[:, 1], sl.h_ab[1], 1)
+    return split.unpack_classical(sl, a, b)
+
+
+class TestSvmcSplit:
+    @pytest.mark.parametrize(
+        "lat_fn,L,tf",
+        [
+            (lambda: periodic_lattice(16, 1), 16, False),
+            (lambda: periodic_lattice(16, 1), 16, True),
+            (lambda: instances.random_2d_lattice(32, rng=2, lattice=True)[0],
+             32, True),  # R2=4 seams
+        ],
+    )
+    def test_bitwise_vs_oracle(self, lat_fn, L, tf):
+        lat = lat_fn()
+        rng = np.random.default_rng(0)
+        theta = (rng.random((2, L * L)) * np.pi).astype(np.float32)
+        a = np.linspace(2.5, 1e-8, 16).astype(np.float32)
+        b = np.ones_like(a)
+        out = pallas_split.anneal_lattice_svmc_split(
+            lat, a, b, 0.05, theta, seed=13, tf=tf, interpret=True
+        )
+        ref = oracle_svmc(lat, a, b, 0.05, theta, seed=13, tf=tf)
+        # angles are continuous: the interpreter's fused/associated f32
+        # ops differ from the oracle's at the 1-ulp level (max ~5e-7
+        # observed), so exact equality is too strict — but any diverged
+        # accept DECISION would produce O(1) differences and fail this.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=0
+        )
+        assert np.asarray(out).min() >= 0.0
+        assert np.asarray(out).max() <= np.pi
+
+    def test_ferromagnet_orders(self):
+        from montecarlosolvers_tpu.ops.svmc_ops import z_projection
+
+        L = 16
+        lat = LatticeProblem.from_planes(-np.ones((L, L)), -np.ones((L, L)))
+        rng = np.random.default_rng(1)
+        theta = (rng.random((2, L * L)) * np.pi).astype(np.float32)
+        a = np.linspace(2.0, 1e-8, 200).astype(np.float32)
+        out = pallas_split.anneal_lattice_svmc_split(
+            lat, a, np.ones_like(a), 0.02, theta, seed=3, tf=True,
+            interpret=True
+        )
+        es = np.asarray(lat.energy(z_projection(jnp.asarray(out))))
+        # rotors order more slowly than Ising spins: a few domain walls
+        # can survive 200 sweeps; random states sit near 0 energy, so
+        # 85% of the ground energy is unambiguous ordering.
+        assert es.min() <= -0.85 * 2.0 * L * L
