@@ -288,7 +288,7 @@ def _pallas_qmc_arm(problem):
         a = schedules.transverse_field(3.0, 1e-8, tau)
         out = pallas_split.anneal_lattice_qmc_split(
             problem, a, jnp.ones_like(a), 1.0 / P, confs, seed,
-            chain_block=4, global_moves=True,
+            chain_block=4, global_moves=True, hw_rng=True,
         )
         float(jnp.sum(out[..., 0, 0]))
 
