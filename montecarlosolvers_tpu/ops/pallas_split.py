@@ -219,8 +219,8 @@ def _run_split(seed, sched_p, wa, wb, ha, hb, a, b, *, cb, chunk, total, K,
 
 
 def _svmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb, a_in, b_in,
-                       a_out, b_out, *, chunk, total_steps, K, nslots, nh,
-                       temp, tf, hw_rng):
+                       a_out, b_out, ca, sa_, cb, sb_, *, chunk,
+                       total_steps, K, nslots, nh, temp, tf, hw_rng):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -228,6 +228,13 @@ def _svmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb, a_in, b_in,
     def _():
         a_out[:] = a_in[:]
         b_out[:] = b_in[:]
+        # trig caches (VMEM scratch, persist across schedule chunks):
+        # carrying cos/sin of the state cuts the transcendentals from 5
+        # to 2 sin/cos per site per phase — the rotor sweep's bottleneck
+        ca[:] = jnp.cos(a_in[:])
+        sa_[:] = jnp.sin(a_in[:])
+        cb[:] = jnp.cos(b_in[:])
+        sb_[:] = jnp.sin(b_in[:])
 
     shape = a_out.shape  # (cb, R2, C)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
@@ -266,7 +273,7 @@ def _svmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb, a_in, b_in,
             bc = b_ref[t]
             width = jnp.minimum(ac / bc, 1.0)
 
-            def phase(s_ref, other, w, h, idx):
+            def phase(s_ref, c_ref, sn_ref, cos_other, w, h, idx):
                 th = s_ref[:]
                 u_p = uniforms(t_global, idx)
                 if tf:
@@ -275,15 +282,18 @@ def _svmc_split_kernel(seed_ref, a_ref, b_ref, wa, wb, ha, hb, a_in, b_in,
                     )
                 else:
                     prop = pi * u_p
-                zf = _half_field(jnp.cos(other), w, col, K, nslots) + h[:]
-                de = bc * (jnp.cos(prop) - jnp.cos(th)) * zf \
-                    + ac * (jnp.sin(th) - jnp.sin(prop))
+                cp = jnp.cos(prop)
+                sp = jnp.sin(prop)
+                zf = _half_field(cos_other, w, col, K, nslots) + h[:]
+                de = bc * (cp - c_ref[:]) * zf + ac * (sn_ref[:] - sp)
                 u = uniforms(t_global, idx + 2)
                 acc = (de <= 0.0) | (-temp * jnp.log1p(-u) > de)
                 s_ref[:] = jnp.where(acc, prop, th)
+                c_ref[:] = jnp.where(acc, cp, c_ref[:])
+                sn_ref[:] = jnp.where(acc, sp, sn_ref[:])
 
-            phase(a_out, b_out[:], wa, ha, 0)
-            phase(b_out, a_out[:], wb, hb, 1)
+            phase(a_out, ca, sa_, cb[:], wa, ha, 0)
+            phase(b_out, cb, sb_, ca[:], wb, hb, 1)
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
@@ -315,6 +325,7 @@ def _run_svmc_split(seed, a_p, b_p, wa, wb, ha, hb, a, b, *, cb, chunk,
         in_specs=[sched_spec, sched_spec, w_spec, w_spec, h_spec, h_spec,
                   state_spec, state_spec],
         out_specs=(state_spec, state_spec),
+        scratch_shapes=[pltpu.VMEM((cb, R2, C), jnp.float32)] * 4,
     )
     kernel = functools.partial(
         _svmc_split_kernel, chunk=chunk, total_steps=total, K=K,

@@ -240,27 +240,60 @@ def sa_anneal_split(problem, temps, spins, key, collect_energy=False):
 # ---------------------------------------------------------------------- SVMC
 
 
-def svmc_split_sweep(sl, a, b, key, temp, a_coeff, b_coeff, tf=False):
-    """One maskless SVMC sweep on split angle halves (the split form of
-    ops/svmc_ops.svmc_sweep; dE per svmc.pyx:96-110)."""
+def _svmc_split_phase(sl, th, cth, sth, cos_other, w, h, kp, kc, temp,
+                      a_coeff, b_coeff, tf):
+    """One half-phase of the rotor sweep on (theta, cos theta, sin theta).
+
+    Carrying the trig projections of the state (updated on accept via
+    select) cuts the transcendental count from 5 sin/cos per site per
+    phase (cos other, cos/sin theta, cos/sin prop) to 2 (cos/sin prop) —
+    the rotor sweep is transcendental-bound on the VPU, not roll-bound
+    like the Ising sweeps. Values are bitwise what the uncached form
+    computes (the caches hold exactly cos/sin of the carried angle)."""
     from montecarlosolvers_tpu.ops import svmc_ops
 
+    u_p = jax.random.uniform(kp, th.shape)
+    u_c = jax.random.uniform(kc, th.shape)
+    prop = (
+        svmc_ops.propose_tf(th, u_p, a_coeff, b_coeff)
+        if tf else svmc_ops.propose_uniform(u_p)
+    )
+    cp = jnp.cos(prop)
+    sp = jnp.sin(prop)
+    zf = _spatial_field(w, cos_other, sl.K) + h
+    de = b_coeff * (cp - cth) * zf + a_coeff * (sth - sp)
+    acc = metropolis_accept(de, temp, u_c)
+    return (
+        jnp.where(acc, prop, th),
+        jnp.where(acc, cp, cth),
+        jnp.where(acc, sp, sth),
+    )
+
+
+def svmc_split_sweep_cached(sl, state, key, temp, a_coeff, b_coeff, tf=False):
+    """One maskless SVMC sweep on split angle halves with carried trig
+    caches. state = (a, cos a, sin a, b, cos b, sin b). The split form of
+    ops/svmc_ops.svmc_sweep; dE per svmc.pyx:96-110."""
+    a, ca, sa_, b, cb, sb_ = state
     kpa, kaa, kpb, kab = jax.random.split(key, 4)
+    a, ca, sa_ = _svmc_split_phase(
+        sl, a, ca, sa_, cb, sl.w_ab[:, 0], sl.h_ab[0], kpa, kaa, temp,
+        a_coeff, b_coeff, tf,
+    )
+    b, cb, sb_ = _svmc_split_phase(
+        sl, b, cb, sb_, ca, sl.w_ab[:, 1], sl.h_ab[1], kpb, kab, temp,
+        a_coeff, b_coeff, tf,
+    )
+    return a, ca, sa_, b, cb, sb_
 
-    def half(th, other, w, h, kp, kc):
-        u_p = jax.random.uniform(kp, th.shape)
-        u_c = jax.random.uniform(kc, th.shape)
-        prop = (
-            svmc_ops.propose_tf(th, u_p, a_coeff, b_coeff)
-            if tf else svmc_ops.propose_uniform(u_p)
-        )
-        zf = _spatial_field(w, jnp.cos(other), sl.K) + h
-        de = b_coeff * (jnp.cos(prop) - jnp.cos(th)) * zf
-        de = de + a_coeff * (jnp.sin(th) - jnp.sin(prop))
-        return jnp.where(metropolis_accept(de, temp, u_c), prop, th)
 
-    a = half(a, b, sl.w_ab[:, 0], sl.h_ab[0], kpa, kaa)
-    b = half(b, a, sl.w_ab[:, 1], sl.h_ab[1], kpb, kab)
+def svmc_split_sweep(sl, a, b, key, temp, a_coeff, b_coeff, tf=False):
+    """Single-sweep convenience form of svmc_split_sweep_cached (builds
+    and drops the trig caches; use the cached form inside scans)."""
+    a, _, _, b, _, _ = svmc_split_sweep_cached(
+        sl, (a, jnp.cos(a), jnp.sin(a), b, jnp.cos(b), jnp.sin(b)),
+        key, temp, a_coeff, b_coeff, tf=tf,
+    )
     return a, b
 
 
@@ -268,25 +301,29 @@ def svmc_anneal_split(problem, a_sched, b_sched, temp, theta, key, tf=False,
                       collect_energy=False):
     """Split-layout SVMC anneal scan — fast inner engine for
     solvers.svmc.anneal on even-L lattices."""
-    from montecarlosolvers_tpu.ops import svmc_ops
-
     sl = build_split(problem)
     a, b = pack_classical(sl, theta)
     keys = jax.random.split(key, a_sched.shape[0])
 
     def body(carry, x):
-        a, b = carry
         ac, bc, k = x
-        a, b = svmc_split_sweep(sl, a, b, k, temp, ac, bc, tf=tf)
+        carry = svmc_split_sweep_cached(sl, carry, k, temp, ac, bc, tf=tf)
+        # z_projection = sign(cos theta); the carried cos caches give it
+        # without recomputing the trig
         e = (
             classical_energy_split(
-                sl, svmc_ops.z_projection(a), svmc_ops.z_projection(b)
+                sl,
+                jnp.where(carry[1] >= 0.0, 1.0, -1.0),
+                jnp.where(carry[4] >= 0.0, 1.0, -1.0),
             )
             if collect_energy else None
         )
-        return (a, b), e
+        return carry, e
 
-    (a, b), es = jax.lax.scan(body, (a, b), (a_sched, b_sched, keys))
+    state0 = (a, jnp.cos(a), jnp.sin(a), b, jnp.cos(b), jnp.sin(b))
+    (a, _, _, b, _, _), es = jax.lax.scan(
+        body, state0, (a_sched, b_sched, keys)
+    )
     return unpack_classical(sl, a, b), es
 
 
