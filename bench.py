@@ -296,6 +296,55 @@ def _pallas_qmc_arm(problem):
                          trials=2)
 
 
+def _cluster_arm(problem):
+    """Cluster-update cost at benchmark scale (P=40): ms per Wolff
+    cluster (qmc.QuantumAnnealWCL analog, one cluster per schedule step,
+    qmc.pyx:620-786) and ms per SW-bath sweep (WC2 analog,
+    qmc.pyx:1231-1446), slope-timed so dispatch overhead cancels."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.solvers import sa, qmc
+    from montecarlosolvers_tpu import schedules
+
+    P = 40
+    key = jax.random.key(7)
+    confs = qmc.replicate(sa.random_state(key, problem.nspins), P)
+    lut = schedules.bath_lookuptable(P, 1e-2)
+    out = {}
+
+    def time_steps(run, taus):
+        t_at = {}
+        for tau in taus:
+            run(tau, 0)  # compile + warm
+            t0 = time.time()
+            run(tau, 1)
+            t_at[tau] = time.time() - t0
+        ts = sorted(t_at)
+        return (t_at[ts[-1]] - t_at[ts[0]]) / (ts[-1] - ts[0]) * 1e3
+
+    def run_wolff(tau, seed):
+        a = schedules.transverse_field(3.0, 1e-8, tau)
+        o = qmc.anneal_wolff(
+            problem, a, jnp.ones_like(a), 1.0 / P, confs,
+            jax.random.key(seed), rule="local",
+        )
+        float(jnp.sum(o[..., 0, 0]))
+
+    out["wolff_cluster_ms"] = round(time_steps(run_wolff, (30, 90)), 2)
+
+    if _remaining() > 45:
+        def run_sw(tau, seed):
+            a = schedules.transverse_field(3.0, 1e-8, tau)
+            o = qmc.anneal_sw_bath(
+                problem, a, jnp.ones_like(a), 1.0 / P, lut, confs,
+                jax.random.key(seed), per_slice_seeds=False,
+            )
+            float(jnp.sum(o[..., 0, 0]))
+
+        out["sw_bath_sweep_ms"] = round(time_steps(run_sw, (10, 30)), 2)
+    return out
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -380,6 +429,14 @@ def main():
                     if info.get("degraded") else {}))
         except Exception as e:  # noqa: BLE001
             _set(error_pallas_piqmc=repr(e)[:200])
+        _emit()
+
+    # --- cluster updates at benchmark scale (BASELINE config 5) --------
+    if _remaining() > 100:
+        try:
+            _set(**_cluster_arm(problem))
+        except Exception as e:  # noqa: BLE001
+            _set(error_cluster=repr(e)[:200])
 
     _DONE.set()
     _emit()
