@@ -145,19 +145,20 @@ def packed_sweep(pg, spins, key, temp, b_coeff=-2.0, nbr_J=None, h=None):
     return spins
 
 
-def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False,
-                      nbr_J=None, h=None):
+def packed_svmc_sweep_cached(pg, state, key, temp, a_coeff, b_coeff,
+                             tf=False, nbr_J=None, h=None):
     """One maskless SVMC sweep over the class blocks (rotor dE per
-    svmc.pyx:96-110). theta: (..., N) angles in PACKED order. A running
-    cos cache is updated per block, so the sweep pays ~2N cos total
-    instead of c*N."""
+    svmc.pyx:96-110) on carried trig caches. state = (theta, cos theta,
+    sin theta), all in PACKED order. Carrying the caches across sweeps
+    leaves only the proposal's 2 sin/cos per site per sweep (the rotor
+    sweep is transcendental-bound on the VPU)."""
     from montecarlosolvers_tpu.ops import svmc_ops
 
+    theta, cos_all, sin_all = state
     nbr_J, h = _tables(pg, nbr_J, h)
     ku, ka = jax.random.split(key)
     u_prop = jax.random.uniform(ku, theta.shape)
     u_acc = jax.random.uniform(ka, theta.shape)
-    cos_all = jnp.cos(theta)
     for k in range(len(pg.starts) - 1):
         lo, hi = pg.starts[k], pg.starts[k + 1]
         if lo == hi:
@@ -171,13 +172,28 @@ def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False,
         nb = jnp.take(cos_all, pg.nbr_idx[lo:hi], axis=-1)
         zfield = jnp.sum(nbr_J[lo:hi] * nb, axis=-1) + h[lo:hi]
         cos_prop = jnp.cos(prop)
+        sin_prop = jnp.sin(prop)
         de = b_coeff * (cos_prop - cos_all[..., lo:hi]) * zfield
-        de = de + a_coeff * (jnp.sin(th_blk) - jnp.sin(prop))
+        de = de + a_coeff * (sin_all[..., lo:hi] - sin_prop)
         acc = metropolis_accept(de, temp, u_acc[..., lo:hi])
         theta = theta.at[..., lo:hi].set(jnp.where(acc, prop, th_blk))
         cos_all = cos_all.at[..., lo:hi].set(
             jnp.where(acc, cos_prop, cos_all[..., lo:hi])
         )
+        sin_all = sin_all.at[..., lo:hi].set(
+            jnp.where(acc, sin_prop, sin_all[..., lo:hi])
+        )
+    return theta, cos_all, sin_all
+
+
+def packed_svmc_sweep(pg, theta, key, temp, a_coeff, b_coeff, tf=False,
+                      nbr_J=None, h=None):
+    """Single-sweep convenience form of packed_svmc_sweep_cached (builds
+    and drops the trig caches; use the cached form inside scans)."""
+    theta, _, _ = packed_svmc_sweep_cached(
+        pg, (theta, jnp.cos(theta), jnp.sin(theta)), key, temp,
+        a_coeff, b_coeff, tf=tf, nbr_J=nbr_J, h=h,
+    )
     return theta
 
 
@@ -226,13 +242,18 @@ def _svmc_scan(pg, a_sched, b_sched, temp, theta, key, tf=False,
     th = pack_state(pg, theta)
     keys = jax.random.split(key, a_sched.shape[0])
 
-    def body(th, x):
+    def body(state, x):
         ac, bc, k = x
-        th = packed_svmc_sweep(pg, th, k, temp, ac, bc, tf=tf)
-        e = packed_energy(pg, z_projection(th)) if collect_energy else None
-        return th, e
+        state = packed_svmc_sweep_cached(pg, state, k, temp, ac, bc, tf=tf)
+        # z_projection = sign(cos); read it off the carried cos cache
+        e = (
+            packed_energy(pg, jnp.where(state[1] >= 0.0, 1.0, -1.0))
+            if collect_energy else None
+        )
+        return state, e
 
-    th, es = jax.lax.scan(body, th, (a_sched, b_sched, keys))
+    state0 = (th, jnp.cos(th), jnp.sin(th))
+    (th, _, _), es = jax.lax.scan(body, state0, (a_sched, b_sched, keys))
     return unpack_state(pg, th), es
 
 
@@ -245,12 +266,15 @@ def _noisy_svmc_scan(pg, a_sched, b_sched, temp, nbr_J_sched, h_sched,
     th = pack_state(pg, theta)
     keys = jax.random.split(key, a_sched.shape[0])
 
-    def body(th, x):
+    def body(state, x):
         ac, bc, j, h, k = x
-        th = packed_svmc_sweep(pg, th, k, temp, ac, bc, tf=tf, nbr_J=j, h=h)
-        return th, None
+        state = packed_svmc_sweep_cached(
+            pg, state, k, temp, ac, bc, tf=tf, nbr_J=j, h=h
+        )
+        return state, None
 
-    th, _ = jax.lax.scan(body, th, (a_sched, b_sched, jts, hts, keys))
+    state0 = (th, jnp.cos(th), jnp.sin(th))
+    (th, _, _), _ = jax.lax.scan(body, state0, (a_sched, b_sched, jts, hts, keys))
     return unpack_state(pg, th)
 
 

@@ -49,48 +49,90 @@ def _delta_e(problem, theta, theta_prop, a_coeff, b_coeff):
     return de
 
 
-def svmc_sweep(problem, theta, key, temp, a_coeff, b_coeff, tf=False):
-    """One colored SVMC sweep. theta: (..., N) float angles in [0, pi]."""
+def svmc_sweep_cached(problem, state, key, temp, a_coeff, b_coeff, tf=False):
+    """One colored SVMC sweep on carried trig caches.
+    state = (theta, cos theta, sin theta), each (..., N). Carrying the
+    projections across phases and sweeps leaves only the proposal's 2
+    sin/cos per site per phase (the rotor sweep is transcendental-bound;
+    the uncached form pays 4-5)."""
     # One (proposal, acceptance) uniform pair per site per sweep — color
     # phases partition the sites.
+    theta0 = state[0]
     ku, ka = jax.random.split(key)
-    u_prop = jax.random.uniform(ku, theta.shape)
-    u_acc = jax.random.uniform(ka, theta.shape)
+    u_prop = jax.random.uniform(ku, theta0.shape)
+    u_acc = jax.random.uniform(ka, theta0.shape)
 
-    def phase(c, theta):
+    def phase(c, state):
+        theta, cos_t, sin_t = state
         if tf:
             prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
             prop = propose_uniform(u_prop)
-        de = _delta_e(problem, theta, prop, a_coeff, b_coeff)
+        cos_p = jnp.cos(prop)
+        sin_p = jnp.sin(prop)
+        zfield = problem.local_fields(cos_t)
+        de = b_coeff * (cos_p - cos_t) * zfield + a_coeff * (sin_t - sin_p)
         accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
-        return jnp.where(accept, prop, theta)
+        return (
+            jnp.where(accept, prop, theta),
+            jnp.where(accept, cos_p, cos_t),
+            jnp.where(accept, sin_p, sin_t),
+        )
 
-    return _color_loop(problem.num_colors, phase, theta)
+    return _color_loop(problem.num_colors, phase, state)
 
 
-def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff, b_coeff, tf=False):
+def svmc_sweep(problem, theta, key, temp, a_coeff, b_coeff, tf=False):
+    """One colored SVMC sweep. theta: (..., N) float angles in [0, pi].
+    Single-sweep convenience form of svmc_sweep_cached (builds and drops
+    the trig caches; use the cached form inside scans)."""
+    theta, _, _ = svmc_sweep_cached(
+        problem, (theta, jnp.cos(theta), jnp.sin(theta)), key, temp,
+        a_coeff, b_coeff, tf=tf,
+    )
+    return theta
+
+
+def noisy_svmc_sweep_cached(problem, nbr_J_t, h_t, state, key, temp,
+                            a_coeff, b_coeff, tf=False):
     """SVMC sweep with per-step couplings (NoisySVMC / NoisySVMCTF,
-    svmc.pyx:236-448): the schedule axis of the 4-D `nbs` array becomes a
-    scanned coupling table (nbr_J_t: (N, maxnb), h_t: (N,))."""
+    svmc.pyx:236-448) on carried trig caches (see svmc_sweep_cached):
+    the schedule axis of the 4-D `nbs` array becomes a scanned coupling
+    table (nbr_J_t: (N, maxnb), h_t: (N,))."""
+    theta0 = state[0]
     ku, ka = jax.random.split(key)
-    u_prop = jax.random.uniform(ku, theta.shape)
-    u_acc = jax.random.uniform(ka, theta.shape)
+    u_prop = jax.random.uniform(ku, theta0.shape)
+    u_acc = jax.random.uniform(ka, theta0.shape)
 
-    def phase(c, theta):
+    def phase(c, state):
+        theta, cos_t, sin_t = state
         if tf:
             prop = propose_tf(theta, u_prop, a_coeff, b_coeff)
         else:
             prop = propose_uniform(u_prop)
-        cos_t = jnp.cos(theta)
-        zmagdiff = jnp.cos(prop) - cos_t
+        cos_p = jnp.cos(prop)
+        sin_p = jnp.sin(prop)
         cos_nb = jnp.take(cos_t, problem.nbr_idx, axis=-1)
         zfield = jnp.sum(nbr_J_t * cos_nb, axis=-1) + h_t
-        de = b_coeff * zmagdiff * zfield + a_coeff * (jnp.sin(theta) - jnp.sin(prop))
+        de = b_coeff * (cos_p - cos_t) * zfield + a_coeff * (sin_t - sin_p)
         accept = metropolis_accept(de, temp, u_acc) & problem.color_masks[c]
-        return jnp.where(accept, prop, theta)
+        return (
+            jnp.where(accept, prop, theta),
+            jnp.where(accept, cos_p, cos_t),
+            jnp.where(accept, sin_p, sin_t),
+        )
 
-    return _color_loop(problem.num_colors, phase, theta)
+    return _color_loop(problem.num_colors, phase, state)
+
+
+def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff,
+                     b_coeff, tf=False):
+    """Single-sweep convenience form of noisy_svmc_sweep_cached."""
+    theta, _, _ = noisy_svmc_sweep_cached(
+        problem, nbr_J_t, h_t, (theta, jnp.cos(theta), jnp.sin(theta)),
+        key, temp, a_coeff, b_coeff, tf=tf,
+    )
+    return theta
 
 
 def z_projection(theta):

@@ -37,16 +37,19 @@ def _masked_svmc_scan(problem, a, b, temp, theta, key, tf=False,
                       collect_energy=False):
     keys = jax.random.split(key, a.shape[0])
 
-    def body(th, x):
+    def body(state, x):
         ac, bc, k = x
-        th = svmc_ops.svmc_sweep(problem, th, k, temp, ac, bc, tf=tf)
+        state = svmc_ops.svmc_sweep_cached(problem, state, k, temp, ac, bc, tf=tf)
+        # z_projection = sign(cos); read it off the carried cos cache
         e = (
-            problem.energy(svmc_ops.z_projection(th))
+            problem.energy(jnp.where(state[1] >= 0.0, 1.0, -1.0))
             if collect_energy else None
         )
-        return th, e
+        return state, e
 
-    return jax.lax.scan(body, theta, (a, b, keys))
+    state0 = (theta, jnp.cos(theta), jnp.sin(theta))
+    (theta, _, _), es = jax.lax.scan(body, state0, (a, b, keys))
+    return theta, es
 
 
 @partial(jax.jit, static_argnames=("tf",))
@@ -54,12 +57,17 @@ def _masked_noisy_svmc_scan(problem, a, b, temp, nbr_J_sched, h_sched,
                             theta, key, tf=False):
     keys = jax.random.split(key, a.shape[0])
 
-    def body(th, x):
+    def body(state, x):
         ac, bc, jt, ht, k = x
-        th = svmc_ops.noisy_svmc_sweep(problem, jt, ht, th, k, temp, ac, bc, tf=tf)
-        return th, None
+        state = svmc_ops.noisy_svmc_sweep_cached(
+            problem, jt, ht, state, k, temp, ac, bc, tf=tf
+        )
+        return state, None
 
-    theta, _ = jax.lax.scan(body, theta, (a, b, nbr_J_sched, h_sched, keys))
+    state0 = (theta, jnp.cos(theta), jnp.sin(theta))
+    (theta, _, _), _ = jax.lax.scan(
+        body, state0, (a, b, nbr_J_sched, h_sched, keys)
+    )
     return theta
 
 
