@@ -16,9 +16,15 @@ Driver-proofing (this file must produce a parseable JSON line even when
 the remote-TPU tunnel misbehaves — the round-2 artifact was lost to an
 init hang, BENCH_r02.json rc=124):
 
+  * The benchmark runs as a supervised CHILD process: backend init
+    through the tunnel intermittently hangs 10-20+ min in a way nothing
+    in-process can recover from, but a fresh process usually connects in
+    seconds — if the child hasn't printed its init marker within
+    MCS_BENCH_INIT_PROBE_S (default 150 s) the parent kills it and
+    starts one more (see _supervise).
   * A tiny device op runs BEFORE any clock starts (the warmup-before-
-    budget fix from bench/mst.py: backend init through the tunnel
-    intermittently hangs for minutes).
+    budget fix from bench/mst.py), and a partial JSON line is emitted
+    the moment init succeeds.
   * A watchdog daemon thread force-prints the current (possibly partial)
     result line and exits 0 at MCS_BENCH_DEADLINE_S (default 510 s),
     even if the main thread is stuck inside a blocking device call.
@@ -345,6 +351,77 @@ def _cluster_arm(problem):
     return out
 
 
+INIT_PROBE_S = float(os.environ.get("MCS_BENCH_INIT_PROBE_S", "150"))
+
+
+def _supervise():
+    """Parent mode: run the benchmark as a child process and restart it
+    once if backend init hangs.
+
+    The axon tunnel's backend init intermittently hangs for 10-20+ min
+    in a way no in-process code can recover from (observed live while
+    building this round: two consecutive processes stuck in
+    ``jax.devices()``) — but a FRESH process frequently connects in
+    seconds. The child prints a partial JSON line the moment init
+    succeeds; if the parent doesn't see it within INIT_PROBE_S it kills
+    the child and starts one more. All child stdout is forwarded
+    verbatim, so the driver's last-JSON-line contract is unchanged.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ, MCS_BENCH_CHILD="1")
+    last_json = None
+    for attempt in (1, 2):
+        env["MCS_BENCH_DEADLINE_S"] = str(max(30.0, _remaining() - 15.0))
+        child = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, env=env, text=True,
+        )
+        t_start = time.time()
+        saw_init = False
+
+        def _reap(timeout):
+            try:
+                child.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                child.kill()
+                child.wait()
+
+        # Reader thread: forward lines, watch for the init marker.
+        def _read():
+            nonlocal last_json, saw_init
+            for line in child.stdout:
+                line = line.rstrip("\n")
+                print(line, flush=True)
+                if line.startswith("{"):
+                    last_json = line
+                    saw_init = True
+
+        rt = threading.Thread(target=_read, daemon=True)
+        rt.start()
+        while child.poll() is None and _remaining() > 5.0:
+            if not saw_init and time.time() - t_start > INIT_PROBE_S and attempt == 1:
+                child.kill()  # init hang — a fresh process usually connects
+                _reap(10.0)
+                break
+            time.sleep(1.0)
+        if child.poll() is None:
+            _reap(max(1.0, _remaining() - 2.0))
+        rt.join(timeout=5.0)
+        if saw_init or attempt == 2 or _remaining() < 60.0:
+            break
+        print(
+            json.dumps({"note": f"attempt {attempt}: backend init hang "
+                                f">{INIT_PROBE_S:.0f}s, restarting child"}),
+            file=sys.stderr, flush=True,
+        )
+    if last_json is None:
+        _set(note="no child produced a result (tunnel down?)")
+        _emit()
+    return 0
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -362,6 +439,7 @@ def main():
 
     jax.block_until_ready(jnp.zeros((8,)) + 1.0)
     _set(backend_init_s=round(time.time() - _T0, 1))
+    _emit()  # init marker: tells the supervising parent the tunnel is live
 
     problem, e_gs = _problem()
 
@@ -443,4 +521,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MCS_BENCH_CHILD") == "1":
+        main()
+    else:
+        raise SystemExit(_supervise())
