@@ -111,6 +111,62 @@ class TestAnneal:
             assert o.min() >= 0.0 and o.max() <= np.pi + 1e-6
 
 
+class TestTrigCacheCoherence:
+    """The anneal scans carry (theta, cos, sin) across sweeps instead of
+    recomputing the projections each step; the carried caches must stay
+    bitwise-coherent with theta or acceptance decisions silently drift."""
+
+    def test_masked_caches_stay_coherent(self, rng):
+        prob, _ = instances.random_graph(14, 26, rng=rng, with_fields=True)
+        key = jax.random.key(5)
+        th = svmc.random_state(key, prob.nspins, batch=(3,))
+        for tf in (False, True):
+            state = (th, jnp.cos(th), jnp.sin(th))
+            for i, k in enumerate(jax.random.split(key, 25)):
+                state = svmc_ops.svmc_sweep_cached(
+                    prob, state, k, 0.2, 2.0 - i * 0.08, 1.0, tf=tf
+                )
+                theta, cos_t, sin_t = state
+                assert np.array_equal(np.asarray(cos_t),
+                                      np.asarray(jnp.cos(theta))), (tf, i)
+                assert np.array_equal(np.asarray(sin_t),
+                                      np.asarray(jnp.sin(theta))), (tf, i)
+
+    def test_packed_caches_stay_coherent(self, rng):
+        from montecarlosolvers_tpu.ops import packed as packed_ops
+
+        prob, _ = instances.random_graph(14, 26, rng=rng, with_fields=True)
+        assert packed_ops.supports_packed(prob)
+        pg = packed_ops.build_packed(prob)
+        key = jax.random.key(6)
+        th = packed_ops.pack_state(
+            pg, svmc.random_state(key, prob.nspins, batch=(3,))
+        )
+        for tf in (False, True):
+            state = (th, jnp.cos(th), jnp.sin(th))
+            for i, k in enumerate(jax.random.split(key, 25)):
+                state = packed_ops.packed_svmc_sweep_cached(
+                    pg, state, k, 0.2, 2.0 - i * 0.08, 1.0, tf=tf
+                )
+                theta, cos_t, sin_t = state
+                assert np.array_equal(np.asarray(cos_t),
+                                      np.asarray(jnp.cos(theta))), (tf, i)
+                assert np.array_equal(np.asarray(sin_t),
+                                      np.asarray(jnp.sin(theta))), (tf, i)
+
+    def test_collected_energy_matches_projection(self, rng):
+        prob, _ = instances.random_graph(12, 20, rng=rng)
+        key = jax.random.key(7)
+        th = svmc.random_state(key, prob.nspins, batch=(2,))
+        a = schedules.linear(2.0, 1e-8, 12)
+        out, es = svmc.anneal(
+            prob, a, jnp.ones_like(a), 0.2, th, key, tf=True,
+            collect_energy=True,
+        )
+        e_final = np.asarray(prob.energy(svmc.z_projection(out)))
+        assert np.allclose(np.asarray(es)[-1], e_final, atol=1e-4)
+
+
 class TestEquilibrium:
     def test_svmc_samples_rotor_gibbs(self, rng):
         """The SVMC sweep must sample the continuous Gibbs density on
