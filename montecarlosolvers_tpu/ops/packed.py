@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.ops import svmc_ops
 
 # Beyond this many color classes the unrolled per-block loop bloats the
 # scan body (O(colors) HLO); the masked engine's fori loop handles those.
@@ -152,8 +153,6 @@ def packed_svmc_sweep_cached(pg, state, key, temp, a_coeff, b_coeff,
     sin theta), all in PACKED order. Carrying the caches across sweeps
     leaves only the proposal's 2 sin/cos per site per sweep (the rotor
     sweep is transcendental-bound on the VPU)."""
-    from montecarlosolvers_tpu.ops import svmc_ops
-
     theta, cos_all, sin_all = state
     nbr_J, h = _tables(pg, nbr_J, h)
     ku, ka = jax.random.split(key)
@@ -245,9 +244,8 @@ def _svmc_scan(pg, a_sched, b_sched, temp, theta, key, tf=False,
     def body(state, x):
         ac, bc, k = x
         state = packed_svmc_sweep_cached(pg, state, k, temp, ac, bc, tf=tf)
-        # z_projection = sign(cos); read it off the carried cos cache
         e = (
-            packed_energy(pg, jnp.where(state[1] >= 0.0, 1.0, -1.0))
+            packed_energy(pg, svmc_ops.z_projection_from_cos(state[1]))
             if collect_energy else None
         )
         return state, e

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
+from montecarlosolvers_tpu.ops.svmc_ops import z_projection_from_cos
 from montecarlosolvers_tpu.schedules import jperp as jperp_of
 
 
@@ -308,13 +309,11 @@ def svmc_anneal_split(problem, a_sched, b_sched, temp, theta, key, tf=False,
     def body(carry, x):
         ac, bc, k = x
         carry = svmc_split_sweep_cached(sl, carry, k, temp, ac, bc, tf=tf)
-        # z_projection = sign(cos theta); the carried cos caches give it
-        # without recomputing the trig
         e = (
             classical_energy_split(
                 sl,
-                jnp.where(carry[1] >= 0.0, 1.0, -1.0),
-                jnp.where(carry[4] >= 0.0, 1.0, -1.0),
+                z_projection_from_cos(carry[1]),
+                z_projection_from_cos(carry[4]),
             )
             if collect_energy else None
         )

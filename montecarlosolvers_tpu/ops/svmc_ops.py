@@ -135,6 +135,12 @@ def noisy_svmc_sweep(problem, nbr_J_t, h_t, theta, key, temp, a_coeff,
     return theta
 
 
+def z_projection_from_cos(cos_theta):
+    """z_projection evaluated on an already-computed cos cache (the scan
+    carriers hold cos theta; recomputing the cosine would defeat them)."""
+    return jnp.where(cos_theta >= 0.0, 1.0, -1.0)
+
+
 def z_projection(theta):
     """Project rotor angles to Ising spins: sign(cos theta), +1 at the
     boundary — the standard readout for SVMC states."""

@@ -40,9 +40,8 @@ def _masked_svmc_scan(problem, a, b, temp, theta, key, tf=False,
     def body(state, x):
         ac, bc, k = x
         state = svmc_ops.svmc_sweep_cached(problem, state, k, temp, ac, bc, tf=tf)
-        # z_projection = sign(cos); read it off the carried cos cache
         e = (
-            problem.energy(jnp.where(state[1] >= 0.0, 1.0, -1.0))
+            problem.energy(svmc_ops.z_projection_from_cos(state[1]))
             if collect_energy else None
         )
         return state, e

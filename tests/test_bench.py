@@ -1,0 +1,73 @@
+"""Unit tests for bench.py's measurement logic (no device needed).
+
+_measure_rate is the driver-visible headline-number path; these lock the
+slope math and the degraded-fallback guard (VERDICT r2 #8: a wild
+two-point slope through tunnel jitter must not be published)."""
+
+import numpy as np
+
+import bench
+
+
+class FakeClock:
+    def __init__(self, t0=1000.0):
+        self.now = t0
+
+    def __call__(self):
+        return self.now
+
+
+def _with_fake_clock(monkeypatch):
+    clock = FakeClock()
+    monkeypatch.setattr(bench.time, "time", clock)
+    # keep the wall budget far away so _remaining() never gates points
+    monkeypatch.setattr(bench, "_T0", clock.now)
+    monkeypatch.setattr(bench, "WALL_DEADLINE_S", 1e9)
+    return clock
+
+
+def test_measure_rate_cancels_fixed_overhead(monkeypatch):
+    clock = _with_fake_clock(monkeypatch)
+    per_step, overhead, work = 1e-4, 0.3, 6400.0
+
+    def run(tau, seed):
+        clock.now += overhead + per_step * tau
+
+    rate, info = bench._measure_rate(run, (1000, 3000, 5000), work)
+    # slope timing must recover work/per_step exactly despite the 0.3 s
+    # fixed overhead (one-shot at tau=1000 would be off by 75%)
+    assert np.isclose(rate, work / per_step, rtol=1e-6)
+    assert not info.get("degraded")
+    assert info["points"] == 3
+
+
+def test_measure_rate_degrades_on_wild_slope(monkeypatch):
+    clock = _with_fake_clock(monkeypatch)
+    work = 6400.0
+    # pathological timings: a large-tau call that is FASTER than the
+    # small-tau one (tunnel jitter) makes the slope negative
+    times = {100: 5.0, 300: 1.0}
+
+    def run(tau, seed):
+        clock.now += times[tau]
+
+    rate, info = bench._measure_rate(run, (100, 300), work)
+    assert info.get("degraded")
+    # fallback is the conservative single-shot rate at the largest tau
+    assert np.isclose(rate, work * 300 / times[300], rtol=1e-6)
+
+
+def test_measure_rate_keeps_two_point_slope_under_budget(monkeypatch):
+    clock = _with_fake_clock(monkeypatch)
+    per_step, work = 1e-3, 100.0
+
+    def run(tau, seed):
+        clock.now += 0.1 + per_step * tau
+
+    # shrink the remaining budget after construction so the third point
+    # is skipped but the first two still form a slope
+    rate, info = bench._measure_rate(
+        run, (1000, 2000, 4000), work, min_budget=1e12
+    )
+    assert info["points"] == 2
+    assert np.isclose(rate, work / per_step, rtol=1e-6)
