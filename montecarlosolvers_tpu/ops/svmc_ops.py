@@ -144,4 +144,4 @@ def z_projection_from_cos(cos_theta):
 def z_projection(theta):
     """Project rotor angles to Ising spins: sign(cos theta), +1 at the
     boundary — the standard readout for SVMC states."""
-    return jnp.where(jnp.cos(theta) >= 0.0, 1.0, -1.0)
+    return z_projection_from_cos(jnp.cos(theta))
