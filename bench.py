@@ -45,9 +45,12 @@ jitter), the conservative single-shot rate is published with
 small host-side reduction fetch: through the remote-TPU tunnel
 `block_until_ready` can return before execution completes, and fetching
 the full state would time the ~MB tunnel transfer instead of the compute.
-The Pallas fused kernels are NOT used here: the axon remote-compile
-service compiles Mosaic kernels pathologically slowly (minutes for a
-trivial block); the XLA path below already exceeds the target.
+The fused Pallas split kernels run as separate budget-gated arms
+(pallas_sa / pallas_piqmc / pallas_svmc): the axon remote-compile
+service compiles Mosaic kernels erratically (the same kernel 19 s-8
+min), so they only start with generous wall budget left and the
+watchdog bounds a pathological compile; the XLA arms above them carry
+the headline numbers either way.
 """
 
 from __future__ import annotations
@@ -305,6 +308,31 @@ def _pallas_qmc_arm(problem):
                          trials=2)
 
 
+def _pallas_svmc_arm(problem):
+    """Fused split-layout Pallas SVMC-TF kernel (VMEM trig-cache form,
+    2 transcendentals per site per phase), 128 chains — measured 1.5e10
+    rotor attempts/s vs the cached XLA engine's 1.24e10."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.ops import pallas_split
+    from montecarlosolvers_tpu.solvers import svmc
+    from montecarlosolvers_tpu import schedules
+
+    chains = 128
+    theta = svmc.random_state(jax.random.key(8), problem.nspins, batch=(chains,))
+
+    def run(tau, seed):
+        a = schedules.transverse_field(3.0, 1e-8, tau)
+        out = pallas_split.anneal_lattice_svmc_split(
+            problem, a, jnp.ones_like(a), 0.05, theta, seed,
+            tf=True, hw_rng=True,
+        )
+        float(jnp.sum(out[..., 0]))
+
+    return _measure_rate(run, (8192, 32768), problem.nspins * chains,
+                         trials=2)
+
+
 def _cluster_arm(problem):
     """Cluster-update cost at benchmark scale (P=40): ms per Wolff
     cluster (qmc.QuantumAnnealWCL analog, one cluster per schedule step,
@@ -488,6 +516,7 @@ def main():
         ("piqmc_bath", _piqmc_bath_arm, 45),  # dissipative at benchmark P
         ("pallas_sa", _pallas_arm, 240),
         ("pallas_piqmc", _pallas_qmc_arm, 180),
+        ("pallas_svmc", _pallas_svmc_arm, 150),
     )
     for name, arm, min_rem in ARM_TABLE:
         if _remaining() <= min_rem:
