@@ -34,6 +34,11 @@ init hang, BENCH_r02.json rc=124):
     headline metric/value fields.
   * Each arm is gated on remaining wall budget and wrapped in try/except;
     a failing arm records an error field instead of killing the run.
+  * If the whole run measured nothing (total tunnel outage — observed
+    >5 h on 2026-08-17/18 with every fresh process hung in backend
+    init), the final line keeps the honest zero but attaches the dated
+    last hardware-validated bench line from
+    results/bench_hw_validated.json for context.
 
 Timing notes: each rate is a median-of-pairwise-slopes over 3 tau points
 (t(tau_j) - t(tau_i)) / (tau_j - tau_i), which cancels the fixed per-call
@@ -402,6 +407,24 @@ def _cluster_arm(problem):
 INIT_PROBE_S = float(os.environ.get("MCS_BENCH_INIT_PROBE_S", "150"))
 
 
+def _last_validated():
+    """Most recent full hardware-validated bench line, committed to the repo
+    (results/bench_hw_validated.json). Attached — clearly dated and labeled —
+    to the final output ONLY when this run measured nothing, so a total
+    tunnel outage (observed 2026-08-17/18: >5 h with every fresh process
+    hanging in backend init) still leaves an artifact that points at the
+    last real measurement instead of a bare zero."""
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "results", "bench_hw_validated.json",
+        )
+        with open(path) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 - strictly best-effort
+        return None
+
+
 def _supervise():
     """Parent mode: run the benchmark as a child process and restart it
     once if backend init hangs.
@@ -464,9 +487,25 @@ def _supervise():
                                 f">{INIT_PROBE_S:.0f}s, restarting child"}),
             file=sys.stderr, flush=True,
         )
-    if last_json is None:
-        _set(note="no child produced a result (tunnel down?)")
-        _emit()
+    final = None
+    if last_json is not None:
+        try:
+            final = json.loads(last_json)
+        except Exception:  # noqa: BLE001
+            final = None
+    if final is None or not final.get("value"):
+        # No live SA measurement this run (tunnel outage). Re-emit the
+        # partial line with value untouched (honest zero) plus the dated
+        # last hardware-validated line for context.
+        if final is None:
+            with _LOCK:
+                final = dict(_RESULT)
+        note = "no live hardware measurement this run (tunnel outage?)"
+        final["note"] = f"{final['note']} | {note}" if final.get("note") else note
+        lv = _last_validated()
+        if lv is not None:
+            final["last_hw_validated"] = lv
+        print(json.dumps(final), flush=True)
     return 0
 
 

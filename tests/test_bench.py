@@ -71,3 +71,46 @@ def test_measure_rate_keeps_two_point_slope_under_budget(monkeypatch):
     )
     assert info["points"] == 2
     assert np.isclose(rate, work / per_step, rtol=1e-6)
+
+
+def test_last_validated_loads_committed_record():
+    lv = bench._last_validated()
+    # the committed record must exist, be dated, and carry the headline
+    # fields the outage fallback advertises
+    assert lv is not None
+    assert lv["validated_utc"].startswith("20")
+    assert lv["line"]["value"] > 1e10
+    assert lv["line"]["piqmc_attempts_per_sec"] > 1e10
+
+
+def test_supervise_outage_line_is_parseable(monkeypatch, capsys):
+    """A total tunnel outage (child never prints) must still end with one
+    parseable JSON line carrying the honest zero + the dated last
+    hardware-validated record (the BENCH_r02 rc=124 failure mode)."""
+    import json
+    import subprocess
+
+    class DeadChild:
+        stdout = iter(())  # no output ever
+
+        def __init__(self, *a, **k):
+            self._polls = 0
+
+        def poll(self):
+            return None
+
+        def kill(self):
+            pass
+
+        def wait(self, timeout=None):
+            return 0
+
+    monkeypatch.setattr(subprocess, "Popen", DeadChild)
+    monkeypatch.setattr(bench, "INIT_PROBE_S", 0.0)
+    monkeypatch.setattr(bench, "WALL_DEADLINE_S", 0.0)  # exhaust instantly
+    assert bench._supervise() == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    final = json.loads(lines[-1])
+    assert final["value"] == 0.0
+    assert "no live hardware measurement" in final["note"]
+    assert final["last_hw_validated"]["line"]["value"] > 1e10
