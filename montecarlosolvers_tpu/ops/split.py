@@ -449,6 +449,122 @@ def qmc_slice_energies_split(sl, xe, xo, ye, yo):
     return e.reshape(e.shape[:-2] + (e.shape[-2] * 2,))
 
 
+# --------------------------------------------------------- dissipative PIQMC
+#
+# The bath term couples every slice pair of one spin line (qmc.pyx:269-273),
+# so slices update sequentially (ops/piqmc.py module docstring) — but each
+# slice update is two maskless half-phases, and a spin line lives entirely
+# in ONE half (the checkerboard color is a property of the site, not the
+# slice), so the bath matvec and the Trotter ring never cross halves.
+# Layout: plain per-slice halves (a, b), each (..., P, Nh), via
+# pack_classical on the (..., P, N) state (takes along axis -1).
+
+
+def qmc_bath_split_sweep(sl, a, b, key, temp, gamma, bcur, bath_mat):
+    """Slice-sequential dissipative sweep on split halves — the split form
+    of piqmc.dissipative_local_sweep (qmc.pyx:149-278). Slices are visited
+    in order 0..P-1 (the reference's slice loop, qmc.pyx:99); within a
+    slice, half A updates then half B against the fresh A."""
+    slices = a.shape[-2]
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    bc = -2.0 * bcur
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+    ka, kb = jax.random.split(key)
+    ua = jax.random.uniform(ka, a.shape)
+    ub = jax.random.uniform(kb, b.shape)
+
+    def at(x, k):
+        return jax.lax.dynamic_index_in_dim(x, k, axis=-2, keepdims=False)
+
+    def slice_body(k, state):
+        a, b = state
+        up, dn = (k - 1) % slices, (k + 1) % slices
+        # Bath field for slice k: row k of the (P, P) matrix against the
+        # same half's lines (zero diagonal excludes the slice itself).
+        row = jnp.take(bath_mat, k, axis=0)
+        bath_a = jnp.einsum("p,...pn->...n", row, a)
+        bath_b = jnp.einsum("p,...pn->...n", row, b)
+        a_k, b_k = at(a, k), at(b, k)
+        a_tr = at(a, up) + at(a, dn)
+        b_tr = at(b, up) + at(b, dn)
+        de = (
+            bc * a_k * (_spatial_field(wa, b_k, sl.K) + ha)
+            + 2.0 * a_k * jp * a_tr
+            + 2.0 * teff * a_k * bath_a
+        )
+        a_k = jnp.where(metropolis_accept(de, teff, at(ua, k)), -a_k, a_k)
+        de = (
+            bc * b_k * (_spatial_field(wb, a_k, sl.K) + hb)
+            + 2.0 * b_k * jp * b_tr
+            + 2.0 * teff * b_k * bath_b
+        )
+        b_k = jnp.where(metropolis_accept(de, teff, at(ub, k)), -b_k, b_k)
+        a = jax.lax.dynamic_update_index_in_dim(a, a_k, k, axis=-2)
+        b = jax.lax.dynamic_update_index_in_dim(b, b_k, k, axis=-2)
+        return a, b
+
+    return jax.lax.fori_loop(0, slices, slice_body, (a, b))
+
+
+def qmc_bath_split_global(sl, a, b, key, temp, bcur):
+    """Whole-line flips on the per-slice halves layout. A full-line flip
+    leaves both the J_perp chain terms AND the bath term invariant (both
+    are bilinear in the line's own slices), so dE is the intra-slice sum
+    only — the reference's bath omission at qmc.pyx:576-609 is exact."""
+    slices = a.shape[-2]
+    teff = temp * slices
+    bc = -2.0 * bcur
+    ka, kb = jax.random.split(key)
+
+    de = bc * jnp.sum(
+        a * (_spatial_field(sl.w_ab[:, 0], b, sl.K) + sl.h_ab[0]), axis=-2
+    )
+    u = jax.random.uniform(ka, de.shape)
+    m = jnp.where(metropolis_accept(de, teff, u), -1.0, 1.0)[..., None, :]
+    a = a * m
+    de = bc * jnp.sum(
+        b * (_spatial_field(sl.w_ab[:, 1], a, sl.K) + sl.h_ab[1]), axis=-2
+    )
+    u = jax.random.uniform(kb, de.shape)
+    m = jnp.where(metropolis_accept(de, teff, u), -1.0, 1.0)[..., None, :]
+    b = b * m
+    return a, b
+
+
+def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
+                          lookuptable, global_moves=False,
+                          collect_energy=False):
+    """Split-layout dissipative PIQMC anneal scan — the fast inner engine
+    for solvers.qmc.anneal(lookuptable=...) on even-L lattices with even P
+    (qmc.DissipativeQuantumAnneal[Global], qmc.pyx:149-278, 444-609)."""
+    from montecarlosolvers_tpu.ops.piqmc import bath_matrix
+
+    sl = build_split(problem)
+    slices = confs.shape[-2]
+    bath_mat = bath_matrix(lookuptable, slices)
+    a, b = pack_classical(sl, confs)
+    keys = jax.random.split(key, a_sched.shape[0])
+
+    def body(state, xs):
+        gamma, bcur, k = xs
+        k1, k2 = jax.random.split(k)
+        a, b = qmc_bath_split_sweep(sl, *state, k1, temp, gamma, bcur,
+                                    bath_mat)
+        if global_moves:
+            a, b = qmc_bath_split_global(sl, a, b, k2, temp, bcur)
+        e = (
+            jnp.min(classical_energy_split(sl, a, b), axis=-1)
+            if collect_energy
+            else None
+        )
+        return (a, b), e
+
+    (a, b), es = jax.lax.scan(body, (a, b), (a_sched, b_sched, keys))
+    return unpack_classical(sl, a, b), es
+
+
 def qmc_anneal_split(problem, a_sched, b_sched, temp, confs, key,
                      global_moves=False, collect_energy=False):
     """Split-layout PIQMC anneal scan — the fast inner engine for

@@ -81,14 +81,22 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
 
     slices = confs.shape[-2]
-    if lookuptable is None and split_ops.supports_split(problem, slices):
+    if split_ops.supports_split(problem, slices):
         # even-L lattice, even P: split-checkerboard engine (ops/split.py)
         # — maskless phase-set updates, half-volume global line moves,
-        # zero lane padding at benchmark shape
-        confs, es = split_ops.qmc_anneal_split(
-            problem, a, b, temp, confs, key,
-            global_moves=global_moves, collect_energy=collect_energy,
-        )
+        # zero lane padding at benchmark shape. The dissipative form keeps
+        # the reference's slice-sequential order but runs each slice as
+        # two maskless half-phases (qmc_bath_anneal_split).
+        if lookuptable is None:
+            confs, es = split_ops.qmc_anneal_split(
+                problem, a, b, temp, confs, key,
+                global_moves=global_moves, collect_energy=collect_energy,
+            )
+        else:
+            confs, es = split_ops.qmc_bath_anneal_split(
+                problem, a, b, temp, confs, key, lookuptable,
+                global_moves=global_moves, collect_energy=collect_energy,
+            )
         if collect_energy:
             return confs, es
         return confs

@@ -273,6 +273,106 @@ class TestSweepPhysics:
         assert tv < 0.02, tv
 
 
+class TestBathSplit:
+    def test_bath_sweep_samples_extended_gibbs(self):
+        """The split dissipative sweep must sample the exact Boltzmann
+        distribution of the bath-extended Hamiltonian (2x2 lattice, P=2,
+        256 states; same harness as the non-bath split test above and the
+        masked-engine test in test_qmc.py)."""
+        from tests.test_qmc import extended_energy
+        from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+
+        lat = _lat(2, np.random.default_rng(11))
+        sl = sp.build_split(lat)
+        slices, temp, gamma, bs = 2, 0.9, 0.7, 1.0
+        teff = temp * slices
+        lut = schedules.bath_lookuptable(slices, 0.05)
+        bath_mat = piqmc_ops.bath_matrix(lut, slices)
+
+        states = []
+        for bits in range(256):
+            s = np.array([(bits >> i) & 1 for i in range(8)]) * 2.0 - 1.0
+            states.append(s.reshape(2, 4).astype(np.float32))
+        states = jnp.asarray(np.stack(states))
+        es = np.asarray(
+            extended_energy(lat, states, temp, gamma, b=bs, lookuptable=lut)
+        )
+        w = np.exp(-es / teff)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 4000, 400
+        confs0 = jnp.where(
+            jax.random.bernoulli(jax.random.key(0), 0.5, (chains, 2, 4)),
+            1.0, -1.0,
+        )
+        a0, b0 = sp.pack_classical(sl, confs0)
+        weights = jnp.asarray([1 << i for i in range(8)])
+
+        @jax.jit
+        def run(a0, b0, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(carry, k):
+                a, b = sp.qmc_bath_split_sweep(
+                    sl, *carry, k, temp, gamma, bs, bath_mat
+                )
+                s = sp.unpack_classical(sl, a, b)
+                bits = (s > 0).astype(jnp.int32).reshape(s.shape[0], 8)
+                return (a, b), bits @ weights
+
+            _, idxs = jax.lax.scan(body, (a0, b0), keys)
+            return idxs
+
+        idxs = np.asarray(run(a0, b0, jax.random.key(1)))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=256)
+        p_emp = counts / counts.sum()
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, tv
+
+    def test_solver_dispatch_matches_masked_engine_statistically(self, rng):
+        """qmc.anneal(lookuptable=...) on an even-L lattice with even P now
+        routes through the split bath engine; its annealed energies must
+        agree with the generic masked engine (same problem as a generic
+        IsingProblem) within chain-statistics tolerance."""
+        L, slices = 4, 4
+        lat = _lat(L, np.random.default_rng(7))
+        gen = lat.to_generic()
+        lut = schedules.bath_lookuptable(slices, 1e-2)
+        key = jax.random.key(3)
+        confs = qmc.replicate(
+            sa.random_state(key, lat.nspins, batch=(48,)), slices
+        )
+        a = schedules.transverse_field(2.5, 1e-8, 150)
+        out_s = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                           lookuptable=lut, global_moves=True)
+        out_m = qmc.anneal(gen, a, jnp.ones_like(a), 0.25, confs, key,
+                           lookuptable=lut, global_moves=True)
+        es = np.asarray(qmc.best_slice_energy(lat, out_s)).mean()
+        em = np.asarray(qmc.best_slice_energy(gen, out_m)).mean()
+        assert set(np.unique(np.asarray(out_s))) <= {-1.0, 1.0}
+        assert np.isclose(es, em, atol=1.5), (es, em)
+
+    def test_bath_collect_energy_and_determinism(self, rng):
+        lat = _lat(4, rng)
+        lut = schedules.bath_lookuptable(4, 1e-2)
+        key = jax.random.key(5)
+        confs = qmc.replicate(sa.random_state(key, lat.nspins, batch=(2,)), 4)
+        a = schedules.transverse_field(2.0, 1e-8, 12)
+        out, es = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                             lookuptable=lut, collect_energy=True)
+        assert es.shape == (12, 2)
+        assert np.allclose(
+            np.asarray(es[-1]),
+            np.asarray(qmc.best_slice_energy(lat, out)),
+            atol=1e-4,
+        )
+        out2 = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                          lookuptable=lut)
+        out3 = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                          lookuptable=lut)
+        assert np.array_equal(np.asarray(out2), np.asarray(out3))
+
+
 class TestSolverDispatch:
     def test_sa_anneal_finds_ground_state_on_lattice(self, rng):
         lat = _lat(4, rng)
