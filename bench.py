@@ -338,6 +338,35 @@ def _pallas_svmc_arm(problem):
                          trials=2)
 
 
+def _pallas_bath_arm(problem):
+    """Fused split-layout dissipative PIQMC kernel at benchmark scale
+    (P=40, all-to-all bath): the state stays VMEM-resident across the
+    slice-sequential sweep instead of streaming (chains, P, N) through
+    HBM once per slice step — the XLA bath engine's bottleneck."""
+    import jax
+    import jax.numpy as jnp
+    from montecarlosolvers_tpu.ops import pallas_split
+    from montecarlosolvers_tpu.solvers import sa, qmc
+    from montecarlosolvers_tpu import schedules
+
+    P, chains = 40, 8
+    lut = schedules.bath_lookuptable(P, 1e-2)
+    confs = qmc.replicate(
+        sa.random_state(jax.random.key(9), problem.nspins, batch=(chains,)), P
+    )
+
+    def run(tau, seed):
+        a = schedules.transverse_field(3.0, 1e-8, tau)
+        out = pallas_split.anneal_lattice_qmc_bath_split(
+            problem, a, jnp.ones_like(a), 1.0 / P, lut, confs, seed,
+            chain_block=4, hw_rng=True,
+        )
+        float(jnp.sum(out[..., 0, 0]))
+
+    return _measure_rate(run, (256, 1024), problem.nspins * P * chains,
+                         trials=2)
+
+
 def _cluster_arm(problem):
     """Cluster-update cost at benchmark scale (P=40): ms per Wolff
     cluster (qmc.QuantumAnnealWCL analog, one cluster per schedule step,
@@ -556,6 +585,7 @@ def main():
         ("pallas_sa", _pallas_arm, 240),
         ("pallas_piqmc", _pallas_qmc_arm, 180),
         ("pallas_svmc", _pallas_svmc_arm, 150),
+        ("pallas_piqmc_bath", _pallas_bath_arm, 120),
     )
     for name, arm, min_rem in ARM_TABLE:
         if _remaining() <= min_rem:

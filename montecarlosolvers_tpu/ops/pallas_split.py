@@ -41,6 +41,11 @@ split engine's 2.5e10 at the same batch. Run-to-run spread through the
 tunnel is ~±30%; the remote Mosaic compile service is erratic (the
 same santoro-shape SA kernel compiled in 19 s and 8 min on different
 attempts), so bench.py keeps these as budget-gated extra arms.
+
+The dissipative kernel (anneal_lattice_qmc_bath_split, added during the
+2026-08-18 tunnel outage) is interpreter-validated (bitwise vs its
+pure-JAX oracle) but not yet hardware-timed; it is a budget-gated
+bench.py arm, so the first healthy-tunnel bench run measures it.
 """
 
 from __future__ import annotations
@@ -667,6 +672,258 @@ def anneal_lattice_qmc_split(lat, a_sched, b_sched, temp, confs, seed,
     )
     out = split_mod.unpack_qmc(
         sl, *(q.reshape(chains, Q, nh) for q in (xe, xo, ye, yo))
+    )
+    return out[0] if squeeze else out
+
+
+# -------------------------------------------------- dissipative PIQMC (bath)
+#
+# In-kernel form of ops/split.qmc_bath_split_sweep (qmc.pyx:149-278): the
+# per-slice halves A, B, each (cb, P, R2, C), stay VMEM-resident across the
+# whole schedule — the XLA engine streams the full (chains, P, N) state
+# through HBM once per slice step (P times per sweep), which is why the
+# bath config is an order of magnitude below the other arms. Slices update
+# sequentially (the bath couples every slice pair of a line, so P phases
+# per half is the information-theoretic minimum); the bath field is a
+# static-P-unrolled scalar-FMA sum over the same half's slices, with the
+# (P, P) bath matrix streamed as SMEM scalars (zero diagonal excludes the
+# slice itself). Optional whole-line global moves after each sweep
+# (DissipativeQuantumAnnealGlobal, qmc.pyx:444-609; the bath term is
+# exactly invariant under a full-line flip).
+
+
+def _qmc_bath_split_kernel(seed_ref, a_ref, b_ref, m_ref, wa, wb, ha, hb,
+                           ain, bin_, aout, bout, *, chunk, total_steps,
+                           K, nslots, nh, temp, slices, global_moves,
+                           hw_rng):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        aout[:] = ain[:]
+        bout[:] = bin_[:]
+
+    cb = aout.shape[0]
+    teff = temp * slices
+    sshape = (cb, aout.shape[2], aout.shape[3])  # one slice of one half
+    col = jax.lax.broadcasted_iota(jnp.int32, sshape, 2)
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, sshape, 1)
+        * jnp.int32(sshape[2]) + col
+    )
+    chain_ids = jax.lax.broadcasted_iota(jnp.int32, sshape, 0) + i * cb
+    col4 = jax.lax.broadcasted_iota(jnp.int32, aout.shape, 3)
+    seed = seed_ref[0]
+    if hw_rng:
+        pltpu.prng_seed(seed, i * jnp.int32(1 << 16) + j)
+
+    def uniforms(t_global, idx):
+        """idx = 2*k + half for slice phases, 2*P + color for line moves."""
+        if hw_rng:
+            bits = pltpu.prng_random_bits(sshape)
+            b24 = jax.lax.shift_right_logical(bits, 8)
+            return b24.astype(jnp.float32) * (1.0 / (1 << 24))
+        ctr = (
+            seed * jnp.int32(2654435761 - (1 << 32))
+            + t_global * jnp.int32(40503)
+            + idx * jnp.int32(1013904223)
+        )
+        uid = chain_ids * jnp.int32(2 * nh) + (idx % 2) * jnp.int32(nh) + flat
+        return _uniform01(ctr, uid)
+
+    def step(t, _):
+        t_global = j * chunk + t
+
+        @pl.when(t_global < total_steps)
+        def _():
+            gamma = a_ref[t]
+            bcur = b_ref[t]
+            jp = -(teff / 2.0) * jnp.log(jnp.tanh(gamma / teff))
+            bc = -2.0 * bcur
+
+            def slice_body(k, _):
+                up = jax.lax.rem(k + jnp.int32(slices - 1), jnp.int32(slices))
+                dn = jax.lax.rem(k + jnp.int32(1), jnp.int32(slices))
+                av = aout[:]
+                bv = bout[:]
+                # bath fields: static-p unrolled scalar FMAs over the P
+                # axis of the same half (m diag is zero)
+                bath_a = m_ref[k * slices] * av[:, 0]
+                bath_b = m_ref[k * slices] * bv[:, 0]
+                for p in range(1, slices):
+                    m = m_ref[k * slices + p]
+                    bath_a += m * av[:, p]
+                    bath_b += m * bv[:, p]
+                a_k = aout[:, k]
+                b_k = bout[:, k]
+                a_tr = aout[:, up] + aout[:, dn]
+                b_tr = bout[:, up] + bout[:, dn]
+                # phase A
+                f = _half_field(b_k, wa, col, K, nslots) + ha[:]
+                de = bc * a_k * f + 2.0 * a_k * jp * a_tr \
+                    + 2.0 * teff * a_k * bath_a
+                u = uniforms(t_global, 2 * k)
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                a_k = jnp.where(acc, -a_k, a_k)
+                aout[:, k] = a_k
+                # phase B against the fresh half A
+                f = _half_field(a_k, wb, col, K, nslots) + hb[:]
+                de = bc * b_k * f + 2.0 * b_k * jp * b_tr \
+                    + 2.0 * teff * b_k * bath_b
+                u = uniforms(t_global, 2 * k + 1)
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                bout[:, k] = jnp.where(acc, -b_k, b_k)
+                return 0
+
+            jax.lax.fori_loop(0, slices, slice_body, 0)
+
+            if global_moves:
+                # whole-line flips: dE sums intra-slice terms only (J_perp
+                # AND bath cancel exactly for a full-line flip)
+                av = aout[:]
+                bv = bout[:]
+                de = bc * jnp.sum(
+                    av * (_half_field(bv, wa, col4, K, nslots)
+                          + ha[:][None]),
+                    axis=1,
+                )
+                u = uniforms(t_global, jnp.int32(2 * slices))
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                aout[:] = av * jnp.where(acc, -1.0, 1.0)[:, None]
+                av = aout[:]
+                de = bc * jnp.sum(
+                    bv * (_half_field(av, wb, col4, K, nslots)
+                          + hb[:][None]),
+                    axis=1,
+                )
+                u = uniforms(t_global, jnp.int32(2 * slices + 1))
+                acc = (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+                bout[:] = bv * jnp.where(acc, -1.0, 1.0)[:, None]
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cb", "chunk", "total", "K", "nslots", "temp",
+                     "slices", "global_moves", "interpret", "hw_rng"),
+)
+def _run_qmc_bath_split(seed, a_p, b_p, m_flat, wa, wb, ha, hb, a, b, *,
+                        cb, chunk, total, K, nslots, temp, slices,
+                        global_moves, interpret, hw_rng):
+    chains, P, R2, C = a.shape
+    nh = R2 * C
+    n_blocks = chains // cb
+    n_chunks = a_p.shape[0] // chunk
+
+    w_spec = pl.BlockSpec((nslots, R2, C), lambda i, j, *_: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((R2, C), lambda i, j, *_: (0, 0),
+                          memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((cb, P, R2, C), lambda i, j, *_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    sched_spec = pl.BlockSpec((chunk,), lambda i, j, *_: (j,),
+                              memory_space=pltpu.SMEM)
+    m_spec = pl.BlockSpec((P * P,), lambda i, j, *_: (0,),
+                          memory_space=pltpu.SMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_chunks),
+        in_specs=[sched_spec, sched_spec, m_spec, w_spec, w_spec, h_spec,
+                  h_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec),
+    )
+    kernel = functools.partial(
+        _qmc_bath_split_kernel, chunk=chunk, total_steps=total, K=K,
+        nslots=nslots, nh=nh, temp=temp, slices=slices,
+        global_moves=global_moves, hw_rng=hw_rng,
+    )
+    st = jax.ShapeDtypeStruct(a.shape, jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(st, st),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, a_p, b_p, m_flat, wa, wb, ha, hb, a, b)
+
+
+def anneal_lattice_qmc_bath_split(lat, a_sched, b_sched, temp, lookuptable,
+                                  confs, seed, mcsteps=1, global_moves=False,
+                                  chain_block=4, chunk=128, interpret=False,
+                                  hw_rng=False):
+    """Fused split-layout dissipative PIQMC anneal on a LatticeProblem.
+
+    Same shape requirements as anneal_lattice_split (any P >= 2).
+
+    Args:
+      lookuptable: (P-1,) bath couplings (schedules.bath_lookuptable).
+      confs: (chains, P, N) float32 +/-1 slices-major Trotter states.
+      global_moves: whole-line flips after each slice sweep
+        (DissipativeQuantumAnnealGlobal, qmc.pyx:444-609).
+
+    Returns:
+      (chains, P, N) annealed states.
+    """
+    from montecarlosolvers_tpu.ops.piqmc import bath_matrix
+
+    L = lat.L
+    nh = L * L // 2
+    if L % 2 or nh % LANE or L // 2 > LANE:
+        raise ValueError(
+            f"split fused kernel needs even L, L*L/2 % {LANE} == 0 and "
+            f"L/2 <= {LANE} (got L={L}); use solvers.qmc.anneal"
+        )
+    confs = jnp.asarray(confs, dtype=jnp.float32)
+    squeeze = confs.ndim == 2
+    if squeeze:
+        confs = confs[None]
+    chains, slices, _ = confs.shape
+    R2, C = nh // LANE, LANE
+
+    sl = split_mod.build_split(lat)
+    a, b = split_mod.pack_classical(sl, confs)
+    a = a.reshape(chains, slices, R2, C)
+    b = b.reshape(chains, slices, R2, C)
+    nslots = int(sl.w_ab.shape[0])
+    wa = jnp.asarray(sl.w_ab[:, 0]).reshape(nslots, R2, C)
+    wb = jnp.asarray(sl.w_ab[:, 1]).reshape(nslots, R2, C)
+    ha = jnp.asarray(sl.h_ab[0]).reshape(R2, C)
+    hb = jnp.asarray(sl.h_ab[1]).reshape(R2, C)
+    m_flat = jnp.asarray(bath_matrix(lookuptable, slices),
+                         jnp.float32).reshape(-1)
+
+    a_s = np.asarray(a_sched, dtype=np.float32)
+    b_s = np.asarray(b_sched, dtype=np.float32)
+    if mcsteps > 1:
+        a_s = np.repeat(a_s, mcsteps)
+        b_s = np.repeat(b_s, mcsteps)
+    total = int(a_s.shape[0])
+    chunk = _align_sched_chunk(chunk, total)
+    padded_len = _pad_up(total, chunk)
+    a_p = np.ones(padded_len, np.float32)  # pad masked; keep log/tanh finite
+    b_p = np.ones(padded_len, np.float32)
+    a_p[:total] = a_s
+    b_p[:total] = b_s
+
+    cb = min(chain_block, chains)
+    while chains % cb:
+        cb -= 1
+
+    a, b = _run_qmc_bath_split(
+        jnp.asarray([int(seed)], jnp.int32), jnp.asarray(a_p),
+        jnp.asarray(b_p), m_flat, wa, wb, ha, hb, a, b, cb=int(cb),
+        chunk=chunk, total=total, K=L // 2, nslots=nslots,
+        temp=float(temp), slices=int(slices), global_moves=global_moves,
+        interpret=interpret, hw_rng=hw_rng,
+    )
+    out = split_mod.unpack_classical(
+        sl, a.reshape(chains, slices, nh), b.reshape(chains, slices, nh)
     )
     return out[0] if squeeze else out
 

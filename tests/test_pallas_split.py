@@ -251,6 +251,135 @@ class TestQmcSplit:
         assert es.min() == -2.0 * L * L
 
 
+def oracle_qmc_bath(lat, a_sched, b_sched, temp, lut, confs, seed,
+                    global_moves):
+    """Replay _qmc_bath_split_kernel's update in plain JAX on the per-slice
+    halves (slice-sequential, half A then B, counter-hash uniforms)."""
+    from montecarlosolvers_tpu.ops.piqmc import bath_matrix
+
+    sl = split.build_split(lat)
+    a, b = split.pack_classical(sl, confs)
+    chains, slices, nh = a.shape
+    teff = temp * slices
+    K = sl.K
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+    m = bath_matrix(lut, slices)
+    flat = jnp.arange(nh, dtype=jnp.int32)[None, :]
+    chain = jnp.arange(chains, dtype=jnp.int32)[:, None]
+    seed32 = jnp.int32(seed)
+
+    def uniforms(t, idx):
+        ctr = (
+            seed32 * jnp.int32(2654435761 - (1 << 32))
+            + jnp.int32(t) * jnp.int32(40503)
+            + jnp.int32(idx) * jnp.int32(1013904223)
+        )
+        uid = chain * jnp.int32(2 * nh) + jnp.int32((idx % 2) * nh) + flat
+        return _uniform01(ctr, uid)
+
+    def accept(de, u):
+        return (de <= 0.0) | (-teff * jnp.log1p(-u) > de)
+
+    for t, (gamma, bcur) in enumerate(
+        zip(np.asarray(a_sched, np.float32), np.asarray(b_sched, np.float32))
+    ):
+        gamma = jnp.float32(gamma)
+        jp = -(teff / 2.0) * jnp.log(jnp.tanh(gamma / teff))
+        bc = -2.0 * jnp.float32(bcur)
+        for k in range(slices):
+            up, dn = (k - 1) % slices, (k + 1) % slices
+            bath_a = jnp.einsum("p,cpn->cn", m[k], a)
+            bath_b = jnp.einsum("p,cpn->cn", m[k], b)
+            a_k, b_k = a[:, k], b[:, k]
+            de = (
+                bc * a_k * (split._spatial_field(wa, b_k, K) + ha)
+                + 2.0 * a_k * jp * (a[:, up] + a[:, dn])
+                + 2.0 * teff * a_k * bath_a
+            )
+            a_k = jnp.where(accept(de, uniforms(t, 2 * k)), -a_k, a_k)
+            a = a.at[:, k].set(a_k)
+            de = (
+                bc * b_k * (split._spatial_field(wb, a_k, K) + hb)
+                + 2.0 * b_k * jp * (b[:, up] + b[:, dn])
+                + 2.0 * teff * b_k * bath_b
+            )
+            b_k = jnp.where(accept(de, uniforms(t, 2 * k + 1)), -b_k, b_k)
+            b = b.at[:, k].set(b_k)
+        if global_moves:
+            de = bc * jnp.sum(
+                a * (split._spatial_field(wa, b, K) + ha), axis=-2
+            )
+            mfl = jnp.where(
+                accept(de, uniforms(t, 2 * slices)), -1.0, 1.0
+            )[:, None, :]
+            a = a * mfl
+            de = bc * jnp.sum(
+                b * (split._spatial_field(wb, a, K) + hb), axis=-2
+            )
+            mfl = jnp.where(
+                accept(de, uniforms(t, 2 * slices + 1)), -1.0, 1.0
+            )[:, None, :]
+            b = b * mfl
+    return split.unpack_classical(sl, a, b)
+
+
+class TestQmcBathSplit:
+    @pytest.mark.parametrize(
+        "lat_fn,L,P,gm",
+        [
+            (lambda: periodic_lattice(16, 1), 16, 4, False),
+            (lambda: instances.random_2d_lattice(16, rng=0, lattice=True)[0],
+             16, 3, True),   # odd P is fine here (no quarter layout)
+            (lambda: instances.random_2d_lattice(32, rng=2, lattice=True)[0],
+             32, 4, True),   # R2=4 seams
+        ],
+    )
+    def test_bitwise_vs_oracle(self, lat_fn, L, P, gm):
+        lat = lat_fn()
+        rng = np.random.default_rng(0)
+        confs = rng.choice([-1.0, 1.0], size=(2, P, L * L)).astype(np.float32)
+        a = np.linspace(2.5, 1e-8, 10).astype(np.float32)
+        b = np.ones_like(a)
+        lut = schedules.bath_lookuptable(P, 0.05)
+        out = pallas_split.anneal_lattice_qmc_bath_split(
+            lat, a, b, 1.0 / P, lut, confs, seed=9, global_moves=gm,
+            interpret=True
+        )
+        ref = oracle_qmc_bath(lat, a, b, 1.0 / P, lut, confs, seed=9,
+                              global_moves=gm)
+        assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_zero_bath_matches_physics_of_ferromagnet(self):
+        # lut = 0: pure PIQMC; the ferromagnet must order
+        L, P = 16, 4
+        lat = LatticeProblem.from_planes(-np.ones((L, L)), -np.ones((L, L)))
+        rng = np.random.default_rng(1)
+        confs = rng.choice([-1.0, 1.0], size=(2, P, L * L)).astype(np.float32)
+        a = np.linspace(3.0, 1e-8, 150).astype(np.float32)
+        lut = np.zeros(P - 1, np.float32)
+        out = pallas_split.anneal_lattice_qmc_bath_split(
+            lat, a, np.ones_like(a), 1.0 / P, lut, confs, seed=5,
+            global_moves=True, interpret=True
+        )
+        es = np.asarray(jax.vmap(jax.vmap(lat.energy))(jnp.asarray(out)))
+        assert es.min() == -2.0 * L * L
+
+    def test_hw_rng_path_valid(self):
+        lat = periodic_lattice(16, 5)
+        P = 4
+        rng = np.random.default_rng(2)
+        confs = rng.choice([-1.0, 1.0], size=(2, P, 256)).astype(np.float32)
+        a = np.linspace(2.0, 1e-8, 12).astype(np.float32)
+        lut = schedules.bath_lookuptable(P, 1e-2)
+        out = pallas_split.anneal_lattice_qmc_bath_split(
+            lat, a, np.ones_like(a), 1.0 / P, lut, confs, seed=1,
+            interpret=True, hw_rng=True
+        )
+        assert out.shape == (2, P, 256)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
 def oracle_svmc(lat, a_sched, b_sched, temp, theta, seed, tf):
     """Replay _svmc_split_kernel's update in plain JAX on the halves."""
     sl = split.build_split(lat)
