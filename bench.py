@@ -258,7 +258,10 @@ def _piqmc_bath_arm(problem):
         )
         float(jnp.sum(out[..., 0, 0]))
 
-    return _measure_rate(run, (200, 600), problem.nspins * P * chains)
+    # tau raised from (200, 600) when the split bath engine landed: the
+    # faster sweep needs a larger step spread to resolve the slope
+    # against the ~0.3 s tunnel jitter
+    return _measure_rate(run, (400, 1200, 2400), problem.nspins * P * chains)
 
 
 def _pallas_arm(problem):
