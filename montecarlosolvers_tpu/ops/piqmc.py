@@ -149,6 +149,47 @@ def dissipative_local_sweep(problem, confs, key, temp, gamma, b, bath_mat):
     return jax.lax.fori_loop(0, slices, slice_body, confs)
 
 
+def dissipative_colored_sweep(problem, confs, key, temp, gamma, b, bath_mat):
+    """Space-time colored sweep with a per-phase bath-field snapshot — the
+    fast, approximate form of dissipative_local_sweep.
+
+    The bath couples every slice pair of a line, so an exact parallel
+    update needs P sequential phases (dissipative_local_sweep). This
+    variant instead updates the usual space-time color classes (m phases,
+    like local_sweep) against a bath field recomputed from the full state
+    at each phase start: bath-coupled sites within one phase see each
+    other's pre-phase values. Same tolerated-asynchrony class as the
+    reference's own prange races (SURVEY.md §5) and the cross-device bath
+    snapshot in parallel/trotter.py — measured bias on the exactly
+    enumerable 2x2/P=2 system: TV(stationary, exact extended Gibbs)
+    0.010 at alpha=0.05 (the sampling-noise floor) and 0.018 at
+    alpha=0.5. Select via qmc.anneal(bath_update="colored").
+    """
+    slices = confs.shape[-2]
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    b_coeff = -2.0 * b
+    m = spacetime_num_phases(problem.num_colors, slices)
+    spatial_colors = jnp.argmax(problem.color_masks, axis=0)
+    stc = (spatial_colors[None, :] + jnp.arange(slices)[:, None]) % m
+    u = jax.random.uniform(key, confs.shape)
+
+    def phase(p, confs):
+        field = problem.local_fields(confs)
+        s_up = jnp.roll(confs, 1, axis=-2)
+        s_dn = jnp.roll(confs, -1, axis=-2)
+        bath = jnp.einsum("kp,...pn->...kn", bath_mat, confs)
+        de = (
+            b_coeff * confs * field
+            + 2.0 * confs * jp * (s_up + s_dn)
+            + 2.0 * teff * confs * bath
+        )
+        accept = metropolis_accept(de, teff, u) & (stc == p)
+        return jnp.where(accept, -confs, confs)
+
+    return _color_loop(m, phase, confs)
+
+
 def global_line_moves(problem, confs, key, temp, b):
     """Whole-line (all-slices) spin flips (qmc.pyx:405-438).
 

@@ -533,19 +533,99 @@ def qmc_bath_split_global(sl, a, b, key, temp, bcur):
     return a, b
 
 
+def _bath_quarter_mats(bath_mat):
+    """Split the (P, P) bath matrix into the four (Q, Q) even/odd-slice
+    blocks consumed by the quarter layout."""
+    return (
+        bath_mat[0::2, 0::2],  # ee
+        bath_mat[0::2, 1::2],  # eo
+        bath_mat[1::2, 0::2],  # oe
+        bath_mat[1::2, 1::2],  # oo
+    )
+
+
+def qmc_bath_split_colored_sweep(sl, xe, xo, ye, yo, key, temp, gamma, bcur,
+                                 bath_mat):
+    """Space-time colored sweep + per-update bath snapshot on the quarter
+    layout — the split form of piqmc.dissipative_colored_sweep (fast,
+    approximate; see that docstring for the validated bias bounds).
+
+    A line of an A site interleaves (xe, yo); of a B site, (ye, xo). The
+    bath field for each quarter is two (Q, Q) matvecs against its line's
+    quarters, recomputed from the live state before each quarter update
+    (finer-grained than the masked form's per-phase snapshot)."""
+    slices = 2 * xe.shape[-2]
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    bc = -2.0 * bcur
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+    mee, meo, moe, moo = _bath_quarter_mats(bath_mat)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def bath(m_even, a_even, m_odd, a_odd):
+        return jnp.einsum("qp,...pn->...qn", m_even, a_even) + jnp.einsum(
+            "qp,...pn->...qn", m_odd, a_odd
+        )
+
+    def upd(s, f_sp_h, tr, bf, k):
+        de = bc * s * f_sp_h + 2.0 * s * jp * tr + 2.0 * teff * s * bf
+        u = jax.random.uniform(k, s.shape)
+        return jnp.where(metropolis_accept(de, teff, u), -s, s)
+
+    xe = upd(xe, _spatial_field(wa, ye, sl.K) + ha,
+             yo + jnp.roll(yo, 1, axis=-2), bath(mee, xe, meo, yo), k1)
+    xo = upd(xo, _spatial_field(wb, yo, sl.K) + hb,
+             ye + jnp.roll(ye, -1, axis=-2), bath(moe, ye, moo, xo), k2)
+    ye = upd(ye, _spatial_field(wb, xe, sl.K) + hb,
+             xo + jnp.roll(xo, 1, axis=-2), bath(mee, ye, meo, xo), k3)
+    yo = upd(yo, _spatial_field(wa, xo, sl.K) + ha,
+             xe + jnp.roll(xe, -1, axis=-2), bath(moe, xe, moo, yo), k4)
+    return xe, xo, ye, yo
+
+
 def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
                           lookuptable, global_moves=False,
-                          collect_energy=False):
+                          collect_energy=False, bath_update="sequential"):
     """Split-layout dissipative PIQMC anneal scan — the fast inner engine
     for solvers.qmc.anneal(lookuptable=...) on even-L lattices with even P
-    (qmc.DissipativeQuantumAnneal[Global], qmc.pyx:149-278, 444-609)."""
+    (qmc.DissipativeQuantumAnneal[Global], qmc.pyx:149-278, 444-609).
+
+    bath_update="sequential" (default) keeps the reference's exact
+    slice-sequential order on the per-slice halves layout;
+    "colored" runs the approximate snapshot-bath colored sweep on the
+    quarter layout (no sequential slice loop — see
+    qmc_bath_split_colored_sweep / piqmc.dissipative_colored_sweep for
+    the validated bias bounds)."""
     from montecarlosolvers_tpu.ops.piqmc import bath_matrix
 
     sl = build_split(problem)
     slices = confs.shape[-2]
     bath_mat = bath_matrix(lookuptable, slices)
-    a, b = pack_classical(sl, confs)
     keys = jax.random.split(key, a_sched.shape[0])
+
+    if bath_update == "colored":
+        state = pack_qmc(sl, confs)
+
+        def body(state, xs):
+            gamma, bcur, k = xs
+            k1, k2 = jax.random.split(k)
+            state = qmc_bath_split_colored_sweep(
+                sl, *state, k1, temp, gamma, bcur, bath_mat
+            )
+            if global_moves:
+                state = qmc_split_global(sl, *state, k2, temp, bcur)
+            e = (
+                jnp.min(qmc_slice_energies_split(sl, *state), axis=-1)
+                if collect_energy
+                else None
+            )
+            return state, e
+
+        state, es = jax.lax.scan(body, state, (a_sched, b_sched, keys))
+        return unpack_qmc(sl, *state), es
+
+    a, b = pack_classical(sl, confs)
 
     def body(state, xs):
         gamma, bcur, k = xs

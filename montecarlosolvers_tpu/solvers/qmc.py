@@ -50,9 +50,14 @@ def best_slice_energy(problem, confs):
     return jnp.min(problem.energy(confs), axis=-1)
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "global_moves", "collect_energy"))
+@partial(
+    jax.jit,
+    static_argnames=("mcsteps", "global_moves", "collect_energy",
+                     "bath_update"),
+)
 def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
-           global_moves=False, lookuptable=None, collect_energy=False):
+           global_moves=False, lookuptable=None, collect_energy=False,
+           bath_update="sequential"):
     """PIQMC anneal over the transverse-field schedule.
 
     Args:
@@ -71,12 +76,22 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
         (schedules.bath_lookuptable) — switches local sweeps to the
         dissipative slice-sequential kernel (qmc.pyx:149-278).
       collect_energy: emit per-step best-slice energies.
+      bath_update: "sequential" (default) — the reference's exact
+        slice-sequential bath sweep; "colored" — the approximate
+        snapshot-bath colored sweep with no sequential slice loop
+        (ops/piqmc.dissipative_colored_sweep for the validated bias
+        bounds). Ignored without a lookuptable.
 
     Returns:
       confs, or (confs, energies) when collect_energy.
     """
     from montecarlosolvers_tpu.ops import split as split_ops
 
+    if bath_update not in ("sequential", "colored"):
+        raise ValueError(
+            f"bath_update must be 'sequential' or 'colored', got "
+            f"{bath_update!r}"
+        )
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
 
@@ -96,6 +111,7 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
             confs, es = split_ops.qmc_bath_anneal_split(
                 problem, a, b, temp, confs, key, lookuptable,
                 global_moves=global_moves, collect_energy=collect_energy,
+                bath_update=bath_update,
             )
         if collect_energy:
             return confs, es
@@ -110,9 +126,14 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
         gamma, bcur, k = x
         k1, k2 = jax.random.split(k)
         if lookuptable is not None:
-            confs = piqmc_ops.dissipative_local_sweep(
-                problem, confs, k1, temp, gamma, bcur, bath_mat
-            )
+            if bath_update == "colored":
+                confs = piqmc_ops.dissipative_colored_sweep(
+                    problem, confs, k1, temp, gamma, bcur, bath_mat
+                )
+            else:
+                confs = piqmc_ops.dissipative_local_sweep(
+                    problem, confs, k1, temp, gamma, bcur, bath_mat
+                )
         else:
             confs = piqmc_ops.local_sweep(
                 problem, confs, k1, temp, gamma, bcur

@@ -329,6 +329,138 @@ class TestBathSplit:
         tv = 0.5 * np.abs(p_emp - p_exact).sum()
         assert tv < 0.02, tv
 
+    def test_colored_bath_sweep_near_extended_gibbs(self):
+        """The snapshot-bath colored sweep (quarter layout) is approximate
+        by design; on the exactly enumerable 2x2/P=2 system at the
+        benchmark-scale coupling its stationary distribution must sit at
+        the sampling-noise floor from the exact extended Gibbs measure
+        (measured TV ~0.010; exact samplers score ~0.01-0.02 in the same
+        harness)."""
+        from tests.test_qmc import extended_energy
+        from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+
+        lat = _lat(2, np.random.default_rng(11))
+        sl = sp.build_split(lat)
+        slices, temp, gamma, bs = 2, 0.9, 0.7, 1.0
+        teff = temp * slices
+        lut = schedules.bath_lookuptable(slices, 0.05)
+        bath_mat = piqmc_ops.bath_matrix(lut, slices)
+
+        states = []
+        for bits in range(256):
+            s = np.array([(bits >> i) & 1 for i in range(8)]) * 2.0 - 1.0
+            states.append(s.reshape(2, 4).astype(np.float32))
+        states = jnp.asarray(np.stack(states))
+        es = np.asarray(
+            extended_energy(lat, states, temp, gamma, b=bs, lookuptable=lut)
+        )
+        w = np.exp(-es / teff)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 4000, 400
+        confs0 = jnp.where(
+            jax.random.bernoulli(jax.random.key(0), 0.5, (chains, 2, 4)),
+            1.0, -1.0,
+        )
+        state0 = sp.pack_qmc(sl, confs0)
+        weights = jnp.asarray([1 << i for i in range(8)])
+
+        @jax.jit
+        def run(state, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(state, k):
+                state = sp.qmc_bath_split_colored_sweep(
+                    sl, *state, k, temp, gamma, bs, bath_mat
+                )
+                s = sp.unpack_qmc(sl, *state)
+                bits = (s > 0).astype(jnp.int32).reshape(s.shape[0], 8)
+                return state, bits @ weights
+
+            _, idxs = jax.lax.scan(body, state, keys)
+            return idxs
+
+        idxs = np.asarray(run(state0, jax.random.key(1)))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=256)
+        p_emp = counts / counts.sum()
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.03, tv
+
+    def test_colored_bath_masked_form_near_extended_gibbs(self):
+        """Same bar for the generic masked form
+        (piqmc.dissipative_colored_sweep), which arbitrary graphs and odd
+        P dispatch to."""
+        from tests.test_qmc import extended_energy
+        from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+
+        prob, _ = instances.random_2d_lattice(2, rng=11)
+        slices, temp, gamma, bs = 2, 0.9, 0.7, 1.0
+        teff = temp * slices
+        lut = schedules.bath_lookuptable(slices, 0.05)
+        bath_mat = piqmc_ops.bath_matrix(lut, slices)
+
+        states = []
+        for bits in range(256):
+            s = np.array([(bits >> i) & 1 for i in range(8)]) * 2.0 - 1.0
+            states.append(s.reshape(2, 4).astype(np.float32))
+        states = jnp.asarray(np.stack(states))
+        es = np.asarray(
+            extended_energy(prob, states, temp, gamma, b=bs, lookuptable=lut)
+        )
+        w = np.exp(-es / teff)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 4000, 400
+        confs0 = jnp.where(
+            jax.random.bernoulli(jax.random.key(0), 0.5, (chains, 2, 4)),
+            1.0, -1.0,
+        )
+        weights = jnp.asarray([1 << i for i in range(8)])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(c, k):
+                c = piqmc_ops.dissipative_colored_sweep(
+                    prob, c, k, temp, gamma, bs, bath_mat
+                )
+                bits = (c > 0).astype(jnp.int32).reshape(c.shape[0], 8)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, jax.random.key(1)))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=256)
+        p_emp = counts / counts.sum()
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.03, tv
+
+    def test_bath_update_colored_dispatch_and_validation(self, rng):
+        lat = _lat(4, rng)
+        lut = schedules.bath_lookuptable(4, 1e-2)
+        key = jax.random.key(6)
+        confs = qmc.replicate(sa.random_state(key, lat.nspins, batch=(2,)), 4)
+        a = schedules.transverse_field(2.0, 1e-8, 12)
+        out = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                         lookuptable=lut, bath_update="colored",
+                         global_moves=True)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        out2 = qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                          lookuptable=lut, bath_update="colored",
+                          global_moves=True)
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
+        # odd P falls back to the masked colored form
+        confs5 = qmc.replicate(sa.random_state(key, lat.nspins), 5)
+        lut5 = schedules.bath_lookuptable(5, 1e-2)
+        out5 = qmc.anneal(lat, a, jnp.ones_like(a), 0.2, confs5, key,
+                          lookuptable=lut5, bath_update="colored")
+        assert set(np.unique(np.asarray(out5))) <= {-1.0, 1.0}
+        with pytest.raises(ValueError, match="bath_update"):
+            qmc.anneal(lat, a, jnp.ones_like(a), 0.25, confs, key,
+                       lookuptable=lut, bath_update="snapshot")
+
     def test_solver_dispatch_matches_masked_engine_statistically(self, rng):
         """qmc.anneal(lookuptable=...) on an even-L lattice with even P now
         routes through the split bath engine; its annealed energies must
