@@ -85,6 +85,35 @@ class TestChainSharding:
         )
         assert np.array_equal(ref, out)
 
+    @pytest.mark.parametrize("bath_update", ["sequential", "colored"])
+    def test_qmc_bath_split_engine_identical_under_sharding(
+        self, rng, eight_devices, bath_update
+    ):
+        """Both split dissipative engines (per-slice halves sequential form
+        and quarter-layout colored form) bitwise under chain sharding —
+        their pack/unpack permutations and (Q,Q)/(P,)-row bath matvecs run
+        against a sharded batch axis."""
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        key = jax.random.key(9)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins, batch=(8,)), 4)
+        assert split_ops.supports_split(prob, confs.shape[-2])
+        lut = schedules.bath_lookuptable(4, 1e-2)
+        a = schedules.transverse_field(2.0, 1e-8, 12)
+        b = jnp.ones_like(a)
+        ref = np.asarray(
+            qmc.anneal(prob, a, b, 0.25, confs, key, lookuptable=lut,
+                       global_moves=True, bath_update=bath_update)
+        )
+        mesh = make_mesh(chains=8)
+        out = np.asarray(
+            qmc.anneal(prob, a, b, 0.25, shard_chains(confs, mesh), key,
+                       lookuptable=lut, global_moves=True,
+                       bath_update=bath_update)
+        )
+        assert np.array_equal(ref, out)
+
     def test_split_engine_ground_state_under_sharding(self, rng, eight_devices):
         """Chain-sharded split-engine PIQMC anneal must still reach the
         brute-force ground state (quality bar, not just shape checks)."""
