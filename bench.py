@@ -95,13 +95,24 @@ def _emit():
 def _watchdog():
     """Force a parseable (partial) result line + clean exit at the wall
     deadline — os._exit fires even while the main thread is blocked in a
-    device call (the failure mode that produced BENCH_r02.json rc=124)."""
-    if _DONE.wait(timeout=max(1.0, _remaining())):
-        return
+    device call (the failure mode that produced BENCH_r02.json rc=124).
+
+    Waits in short chunks (re-evaluating the clock each time) and prints
+    the final line with a raw fd-1 write: a one-shot Event.wait plus a
+    buffered print gives a single chance to flush at the worst possible
+    moment; raw os.write cannot be lost to interpreter/IO-layer state."""
+    while _remaining() > 0.0:
+        if _DONE.wait(timeout=min(5.0, max(0.1, _remaining()))):
+            return
     with _LOCK:
         _RESULT["note"] = "watchdog: wall deadline hit, partial results"
-    _emit()
-    os._exit(0)
+        _RESULT["elapsed_s"] = round(time.time() - _T0, 1)
+        line = json.dumps(_RESULT)
+    try:
+        os.write(1, (line + "\n").encode())
+        os.write(2, b"bench watchdog: deadline hit, exiting\n")
+    finally:
+        os._exit(0)
 
 
 def _set(**kv):
@@ -512,6 +523,14 @@ def _supervise():
         if child.poll() is None:
             _reap(max(1.0, _remaining() - 2.0))
         rt.join(timeout=5.0)
+        if getattr(child, "returncode", None) not in (0, None):
+            # Negative = died on a signal (e.g. a tunnel-client abort mid
+            # compile) — record it so a silently truncated run is
+            # attributable from the artifact alone.
+            print(
+                json.dumps({"note": f"bench child exited rc={child.returncode}"}),
+                file=sys.stderr, flush=True,
+            )
         if saw_init or attempt == 2 or _remaining() < 60.0:
             break
         print(
@@ -550,6 +569,25 @@ def main():
     # threefry2x32 (measured 1.7x end-to-end on this benchmark); still
     # splittable + stable.
     jax.config.update("jax_default_prng_impl", "rbg")
+
+    # Persistent XLA compilation cache: compiles dominate this benchmark's
+    # wall budget (SA+PIQMC arms alone spend ~4 min compiling cold; the
+    # cluster arm ~3 min more), and the remote Mosaic compile service is
+    # erratic (same Pallas kernel 19 s-8 min). Warm entries load in
+    # ~0.2 s (measured through the axon tunnel), so a primed cache lets
+    # every arm fit the 510 s deadline. Keyed by HLO hash — stale entries
+    # are simply misses, so this is always safe to enable.
+    try:
+        cache_dir = os.environ.get(
+            "MCS_BENCH_XLA_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
 
     # Touch the device BEFORE anything else: remote-tunnel backend init
     # intermittently hangs for minutes (bench/mst.py warmup fix); the
