@@ -545,6 +545,30 @@ class TestSolverDispatch:
         best = np.asarray(qmc.best_slice_energy(lat, confs))
         assert np.isclose(best.min(), e_gs, atol=1e-3), (best.min(), e_gs)
 
+    def test_qmc_bf16_state_bitwise_equals_f32(self, rng):
+        """The scan carry defaults to bfloat16 storage (VMEM residency,
+        ops/split.qmc_anneal_split docstring). Spins are exactly +/-1 in
+        bfloat16 and every dE/energy contraction promotes to float32
+        before meeting the float32 couplings, so the trajectories must be
+        BITWISE identical to float32 storage — including collected
+        energies and global line moves, on a periodic lattice (live wrap
+        slots)."""
+        lat = _periodic_lat(6, rng, with_fields=True)
+        key = jax.random.key(7)
+        confs = qmc.replicate(sa.random_state(key, lat.nspins, batch=(3,)), 8)
+        a = schedules.transverse_field(2.5, 1e-6, 60)
+        b = jnp.ones_like(a)
+        out = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            out[dt] = sp.qmc_anneal_split(
+                lat, a, b, 0.2, confs, key,
+                global_moves=True, collect_energy=True, state_dtype=dt,
+            )
+        (c32, e32), (c16, e16) = out[jnp.float32], out[jnp.bfloat16]
+        assert c16.dtype == confs.dtype
+        assert np.array_equal(np.asarray(c32), np.asarray(c16))
+        assert np.array_equal(np.asarray(e32), np.asarray(e16))
+
     def test_qmc_anneal_collect_energy_on_lattice(self, rng):
         lat = _lat(4, rng)
         key = jax.random.key(3)
