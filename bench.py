@@ -172,14 +172,15 @@ def _measure_rate(run, taus, work_per_step, trials=3, min_budget=40.0):
 
 
 def _sa_arm(problem):
-    """SA throughput at the measured-optimal 640 chains (5x128 batch
-    tiles), plus eps_res quality from the largest-tau run."""
+    """SA throughput at the measured-optimal 1280 chains (bfloat16 state
+    carry: 6.1e10 att/s on v5e 2026-08-18, vs 5.7e10 at 640 and a spill
+    at 2560), plus eps_res quality from the largest-tau run."""
     import jax
     import jax.numpy as jnp
     from montecarlosolvers_tpu.solvers import sa
     from montecarlosolvers_tpu import schedules
 
-    chains = 640
+    chains = 1280
     s0 = sa.random_state(jax.random.key(0), problem.nspins, batch=(chains,))
     out_ref = [None]
 
@@ -200,13 +201,15 @@ def _sa_arm(problem):
 
 def _piqmc_arm(problem):
     """PIQMC local+global-move throughput at the benchmark's P=40,
-    chains=16 (the measured VMEM-resident sweet spot), split engine."""
+    chains=32 — the measured sweet spot with the bfloat16 state carry
+    (3.4e10 att/s on v5e 2026-08-18; float32 spilled VMEM past 16
+    chains, see ops/split.qmc_anneal_split)."""
     import jax
     import jax.numpy as jnp
     from montecarlosolvers_tpu.solvers import sa, qmc
     from montecarlosolvers_tpu import schedules
 
-    P, chains = 40, 16
+    P, chains = 40, 32
     key = jax.random.key(2)
     confs = qmc.replicate(
         sa.random_state(key, problem.nspins, batch=(chains,)), P
@@ -248,13 +251,15 @@ def _svmc_arm(problem):
 def _piqmc_bath_arm(problem):
     """Dissipative PIQMC throughput at benchmark scale (P=40): the
     slice-sequential kernel with the (P,P)-matvec bath field
-    (ops/piqmc.py dissipative_local_sweep; qmc.pyx:149-278)."""
+    (ops/piqmc.py dissipative_local_sweep; qmc.pyx:149-278). 32 chains
+    is the bfloat16-carry sweet spot (1.57e10 att/s on v5e 2026-08-18;
+    64 chains spills to 4.5e9)."""
     import jax
     import jax.numpy as jnp
     from montecarlosolvers_tpu.solvers import sa, qmc
     from montecarlosolvers_tpu import schedules
 
-    P, chains = 40, 8
+    P, chains = 40, 32
     lut = schedules.bath_lookuptable(P, 1e-2)
     key = jax.random.key(4)
     confs = qmc.replicate(

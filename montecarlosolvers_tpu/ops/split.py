@@ -219,11 +219,22 @@ def sa_split_sweep(sl, a, b, key, temp):
     return a, b
 
 
-def sa_anneal_split(problem, temps, spins, key, collect_energy=False):
+def sa_anneal_split(problem, temps, spins, key, collect_energy=False,
+                    state_dtype=jnp.bfloat16):
     """Split-layout SA anneal scan — drop-in inner engine for
-    solvers.sa.anneal on open-boundary even-L lattices."""
+    solvers.sa.anneal on open-boundary even-L lattices.
+
+    state_dtype: storage dtype of the (a, b) scan carry. Spins are
+    exactly +/-1 in bfloat16 and every contraction promotes to float32
+    before meeting the float32 couplings, so trajectories are BITWISE
+    identical to float32 storage (SA dE is purely elementwise; see
+    qmc_anneal_split) at half the carry bandwidth. Collected energies
+    may differ in the last ULP — XLA fuses the promoted product into
+    the reduction differently per storage dtype, reordering the sum.
+    Pass jnp.float32 to opt out."""
     sl = build_split(problem)
-    a, b = pack_classical(sl, spins)
+    in_dtype = spins.dtype
+    a, b = (q.astype(state_dtype) for q in pack_classical(sl, spins))
     temps = jnp.asarray(temps)
     keys = jax.random.split(key, temps.shape[0])
 
@@ -235,7 +246,7 @@ def sa_anneal_split(problem, temps, spins, key, collect_energy=False):
         return (a, b), e
 
     (a, b), es = jax.lax.scan(body, (a, b), (temps, keys))
-    return unpack_classical(sl, a, b), es
+    return unpack_classical(sl, a.astype(in_dtype), b.astype(in_dtype)), es
 
 
 # ---------------------------------------------------------------------- SVMC
@@ -586,7 +597,8 @@ def qmc_bath_split_colored_sweep(sl, xe, xo, ye, yo, key, temp, gamma, bcur,
 
 def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
                           lookuptable, global_moves=False,
-                          collect_energy=False, bath_update="sequential"):
+                          collect_energy=False, bath_update="sequential",
+                          state_dtype=jnp.bfloat16):
     """Split-layout dissipative PIQMC anneal scan — the fast inner engine
     for solvers.qmc.anneal(lookuptable=...) on even-L lattices with even P
     (qmc.DissipativeQuantumAnneal[Global], qmc.pyx:149-278, 444-609).
@@ -596,16 +608,22 @@ def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
     "colored" runs the approximate snapshot-bath colored sweep on the
     quarter layout (no sequential slice loop — see
     qmc_bath_split_colored_sweep / piqmc.dissipative_colored_sweep for
-    the validated bias bounds)."""
+    the validated bias bounds).
+
+    state_dtype: storage dtype of the spin-state scan carry; the bath
+    einsums and every dE contraction promote to float32, so bfloat16
+    (default) is bitwise-identical to float32 at half the carry
+    footprint (see qmc_anneal_split)."""
     from montecarlosolvers_tpu.ops.piqmc import bath_matrix
 
     sl = build_split(problem)
+    in_dtype = confs.dtype
     slices = confs.shape[-2]
     bath_mat = bath_matrix(lookuptable, slices)
     keys = jax.random.split(key, a_sched.shape[0])
 
     if bath_update == "colored":
-        state = pack_qmc(sl, confs)
+        state = tuple(q.astype(state_dtype) for q in pack_qmc(sl, confs))
 
         def body(state, xs):
             gamma, bcur, k = xs
@@ -623,9 +641,9 @@ def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
             return state, e
 
         state, es = jax.lax.scan(body, state, (a_sched, b_sched, keys))
-        return unpack_qmc(sl, *state), es
+        return unpack_qmc(sl, *(q.astype(in_dtype) for q in state)), es
 
-    a, b = pack_classical(sl, confs)
+    a, b = (q.astype(state_dtype) for q in pack_classical(sl, confs))
 
     def body(state, xs):
         gamma, bcur, k = xs
@@ -642,7 +660,7 @@ def qmc_bath_anneal_split(problem, a_sched, b_sched, temp, confs, key,
         return (a, b), e
 
     (a, b), es = jax.lax.scan(body, (a, b), (a_sched, b_sched, keys))
-    return unpack_classical(sl, a, b), es
+    return unpack_classical(sl, a.astype(in_dtype), b.astype(in_dtype)), es
 
 
 def qmc_anneal_split(problem, a_sched, b_sched, temp, confs, key,
@@ -653,13 +671,15 @@ def qmc_anneal_split(problem, a_sched, b_sched, temp, confs, key,
 
     state_dtype: storage dtype of the scan carry (the four quarter
     arrays). Spins are exactly +/-1 and every dE/energy contraction
-    promotes to float32 before touching the float32 couplings, so
-    bfloat16 storage produces BITWISE-identical trajectories to float32
+    promotes to float32 before touching the float32 couplings (the
+    spatial field is roll-based elementwise, no MXU pass), so bfloat16
+    storage produces BITWISE-identical trajectories to float32
     (regression-tested) while halving the carry's VMEM footprint — at
-    benchmark scale (N=6400, P=40) the float32 carry spills to HBM at
-    64 chains and throughput drops 3.5x (1.8e10 att/s), where the
-    bfloat16 carry stays VMEM-resident (6.4e10, measured 2026-08-18 on
-    v5e). Pass jnp.float32 to opt out."""
+    benchmark scale (N=6400, P=40, local+global, v5e, 2026-08-18) the
+    float32 carry spills to HBM at 64 chains (9.3e9 att/s) where
+    bfloat16 stays VMEM-resident (3.2e10); peak throughput moves to
+    32 chains at 3.4e10 local attempts/s. Pass jnp.float32 to opt
+    out."""
     sl = build_split(problem)
     in_dtype = confs.dtype
     state = tuple(q.astype(state_dtype) for q in pack_qmc(sl, confs))

@@ -569,6 +569,53 @@ class TestSolverDispatch:
         assert np.array_equal(np.asarray(c32), np.asarray(c16))
         assert np.array_equal(np.asarray(e32), np.asarray(e16))
 
+    def test_sa_bf16_state_bitwise_equals_f32(self, rng):
+        """Same bitwise-storage argument for the classical SA split engine
+        (sa_anneal_split state_dtype)."""
+        lat = _periodic_lat(6, rng, with_fields=True)
+        key = jax.random.key(11)
+        s0 = sa.random_state(key, lat.nspins, batch=(4,))
+        temps = schedules.linear(3.0, 0.0, 80)
+        out = {
+            dt: sp.sa_anneal_split(
+                lat, temps, s0, key, collect_energy=True, state_dtype=dt
+            )
+            for dt in (jnp.float32, jnp.bfloat16)
+        }
+        (s32, e32), (s16, e16) = out[jnp.float32], out[jnp.bfloat16]
+        assert s16.dtype == s0.dtype
+        assert np.array_equal(np.asarray(s32), np.asarray(s16))
+        # the energy OBSERVABLE may differ in the last ULP: XLA fuses the
+        # (promoted-f32) product into the reduction differently for the
+        # two storage dtypes, reordering the sum. Trajectories above are
+        # exact — SA dE is purely elementwise, no reductions.
+        np.testing.assert_allclose(
+            np.asarray(e32), np.asarray(e16), rtol=1e-6
+        )
+
+    @pytest.mark.parametrize("bath_update", ["sequential", "colored"])
+    def test_qmc_bath_bf16_state_bitwise_equals_f32(self, rng, bath_update):
+        """Bitwise bf16-storage transparency for both dissipative split
+        engines (qmc_bath_anneal_split state_dtype): the bath einsums
+        promote to float32 like every other contraction."""
+        lat = _periodic_lat(4, rng, with_fields=True)
+        key = jax.random.key(13)
+        confs = qmc.replicate(sa.random_state(key, lat.nspins, batch=(2,)), 6)
+        a = schedules.transverse_field(2.5, 1e-6, 30)
+        lut = schedules.bath_lookuptable(6, 1e-2)
+        out = {
+            dt: sp.qmc_bath_anneal_split(
+                lat, a, jnp.ones_like(a), 0.25, confs, key, lut,
+                global_moves=True, collect_energy=True,
+                bath_update=bath_update, state_dtype=dt,
+            )
+            for dt in (jnp.float32, jnp.bfloat16)
+        }
+        (c32, e32), (c16, e16) = out[jnp.float32], out[jnp.bfloat16]
+        assert c16.dtype == confs.dtype
+        assert np.array_equal(np.asarray(c32), np.asarray(c16))
+        assert np.array_equal(np.asarray(e32), np.asarray(e16))
+
     def test_qmc_anneal_collect_energy_on_lattice(self, rng):
         lat = _lat(4, rng)
         key = jax.random.key(3)
