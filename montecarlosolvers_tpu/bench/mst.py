@@ -76,14 +76,18 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000,
 
 
 def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
-              global_moves=True, chunk=16, segment=25_000,
+              global_moves=True, chunk=32, segment=25_000,
               cache_prefix=None, deadline=None):
     """One PIQMC point following the full MST protocol
     (examples/santoro80.py:269-296): pre-anneal, replicate, Gamma-anneal,
     best-slice readout. Returns per-chain best-slice energies.
 
     Chains run in chunks of `chunk` so the (chunk, P, N) Trotter state
-    stays VMEM-resident (throughput collapses ~4x once it spills to HBM).
+    stays VMEM-resident (throughput collapses ~4x once it spills to HBM;
+    32 is the bfloat16-carry sweet spot at P=40 — see
+    ops/split.qmc_anneal_split. Re-running a pre-bf16 cached point needs
+    chunk=16 or a fresh cache_prefix: cached chunks are validated
+    against the chunk size).
     Schedules longer than `segment` steps run as several dispatches with
     per-segment keys — long single dispatches can trip remote-TPU
     watchdogs (ARCHITECTURE.md §8), and segment boundaries also bound the
@@ -106,7 +110,8 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     outs = []
     done = 0
     # Seed the per-chunk cost estimate with an optimistic device-rate floor
-    # (2.5e10 attempts/s, the measured v5e PIQMC rate) so even the FIRST
+    # (2.5e10 attempts/s, a conservative bound on the measured 3.3e10 v5e
+    # PIQMC rate — overestimating cost aborts earlier, never later) so even the FIRST
     # chunk of a point cannot silently overrun a tight deadline by its full
     # ~9 min; once a chunk is measured, the larger of the two is used.
     cost_floor = chunk * slices * problem.nspins * int(tau) / 2.5e10
