@@ -282,16 +282,17 @@ def _piqmc_bath_arm(problem):
 
 def _pallas_arm(problem):
     """Fused split-layout Pallas SA kernel (ops/pallas_split.py), hardware
-    PRNG, 128 chains. Generously budget-gated (see ARM_TABLE): the remote
-    Mosaic compile service is erratic (same kernel 19 s-8 min); the
-    watchdog bounds a pathological compile."""
+    PRNG, 256 chains (measured best: 6.0e10 att/s on v5e 2026-08-18, vs
+    5.8e10 at 512 and 5.6e10 at 1024). Generously budget-gated (see
+    ARM_TABLE): the remote Mosaic compile service is erratic (same
+    kernel 19 s-8 min); the watchdog bounds a pathological compile."""
     import jax
     import jax.numpy as jnp
     from montecarlosolvers_tpu.ops import pallas_split
     from montecarlosolvers_tpu.solvers import sa
     from montecarlosolvers_tpu import schedules
 
-    chains = 128
+    chains = 256
     s0 = sa.random_state(jax.random.key(5), problem.nspins, batch=(chains,))
 
     def run(tau, seed):

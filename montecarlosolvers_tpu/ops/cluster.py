@@ -91,24 +91,35 @@ def _label_components(labels, active_sp, nbr_idx, active_up, active_bath=None):
       bonds per spin line (dissipative WCL, qmc.pyx:907-927).
     """
     big = jnp.iinfo(jnp.int32).max
+    slices, nspins = labels.shape
+    maxnb = nbr_idx.shape[-1]
+
+    # Symmetrize the active mask ONCE so the relax loop is pure gathers:
+    # a directed activation at (i, slot->j) must also connect j back to i.
+    # rev_slot[i, m] = the slot of nbr_idx[j] that points back at i (pad
+    # slots map to pad slots, which are never active). Doing this up front
+    # replaces a scatter-min per relax iteration — TPU scatters serialize
+    # on duplicate indices and dominated the benchmark-scale cluster cost
+    # (P=40, N=6400: 145 ms -> ~breakeven-free pull-only iterations).
+    r = jnp.arange(nspins, dtype=nbr_idx.dtype)
+    back = jnp.take(nbr_idx, nbr_idx, axis=0)  # (N, maxnb, maxnb)
+    rev_slot = jnp.argmax(back == r[:, None, None], axis=-1)  # (N, maxnb)
+    flat_idx = (nbr_idx * maxnb + rev_slot).reshape(-1)  # (N*maxnb,)
+    active_rev = (
+        active_sp.reshape(slices, -1)[:, flat_idx].reshape(active_sp.shape)
+    )
+    active_full = active_sp | active_rev
 
     def relax(labels):
-        # Spatial: pull labels across active slots, and push (scatter-min)
-        # so one directed draw connects both endpoints.
+        # Spatial: pull labels across the symmetrized active slots.
         lab_nb = jnp.take(labels, nbr_idx, axis=1)  # (P, N, maxnb)
-        pulled = jnp.min(jnp.where(active_sp, lab_nb, big), axis=-1)
-        pushed_src = jnp.where(active_sp, labels[:, :, None], big)
-        pushed = (
-            jnp.full_like(labels, big)
-            .at[:, nbr_idx.reshape(-1)]
-            .min(pushed_src.reshape(labels.shape[0], -1))
-        )
+        pulled = jnp.min(jnp.where(active_full, lab_nb, big), axis=-1)
         # Temporal ring: edge k <-> k+1 active via active_up[k].
         up = jnp.where(active_up, jnp.roll(labels, -1, axis=0), big)
         dn_active = jnp.roll(active_up, 1, axis=0)
         dn = jnp.where(dn_active, jnp.roll(labels, 1, axis=0), big)
         new = jnp.minimum(
-            jnp.minimum(labels, pulled), jnp.minimum(pushed, jnp.minimum(up, dn))
+            jnp.minimum(labels, pulled), jnp.minimum(up, dn)
         )
         if active_bath is not None:
             # labels: (P, N); bath pulls across any slice pair of one line.
