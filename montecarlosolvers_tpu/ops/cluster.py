@@ -190,8 +190,8 @@ def wolff_update(problem, confs, key, temp, gamma, b, rule="local",
         # pair-energy bonds on the actual spin products: satisfied bonds
         # (dE < 0) of either sign relation can activate. Each undirected
         # pair appears in BOTH endpoints' neighbor slots; draw it exactly
-        # once, from the lower-index endpoint (label propagation pushes and
-        # pulls, so one directed activation connects both ends) — a double
+        # once, from the lower-index endpoint (_label_components symmetrizes
+        # the mask, so one directed activation connects both ends) — a double
         # draw would inflate the bond probability to 1-(1-p)^2.
         de_sp = 2.0 * b * problem.nbr_J[None] * s[:, :, None] * s_nb
         de_t = -2.0 * jp * s * jnp.roll(s, -1, axis=0)
