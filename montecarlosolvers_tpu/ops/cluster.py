@@ -100,7 +100,7 @@ def _label_components(labels, active_sp, nbr_idx, active_up, active_bath=None):
     # slots map to pad slots, which are never active). Doing this up front
     # replaces a scatter-min per relax iteration — TPU scatters serialize
     # on duplicate indices and dominated the benchmark-scale cluster cost
-    # (P=40, N=6400: 145 ms -> ~breakeven-free pull-only iterations).
+    # (P=40, N=6400 Wolff update: 145 -> 137 ms measured on v5e).
     r = jnp.arange(nspins, dtype=nbr_idx.dtype)
     back = jnp.take(nbr_idx, nbr_idx, axis=0)  # (N, maxnb, maxnb)
     rev_slot = jnp.argmax(back == r[:, None, None], axis=-1)  # (N, maxnb)
