@@ -167,3 +167,56 @@ class TestSWBathExactGibbs:
         p_emp = _histogram(step, confs0, jax.random.key(5), nsteps, burn, 2, slices)
         tv = 0.5 * np.abs(p_emp - p_exact).sum()
         assert tv < 0.02, (tv, p_emp, p_exact)
+
+
+class TestLabelComponentsSymmetry:
+    def test_single_directed_activation_connects_both_endpoints(self):
+        """_label_components symmetrizes the directed spatial mask: one
+        activation drawn at the lower-index endpoint (wolff_update's
+        single-draw convention) must merge the labels of BOTH endpoints,
+        with no push/scatter step."""
+        prob = _two_spin_problem(j=0.9)
+        slices, nspins = 2, 2
+        labels0 = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(
+            slices, nspins
+        )
+        # Activate only spin 0 -> spin 1 on slice 0 (directed, lower index).
+        active_sp = np.zeros((slices, nspins, prob.nbr_idx.shape[-1]), bool)
+        slot = int(np.argmax(np.asarray(prob.nbr_idx[0]) == 1))
+        active_sp[0, 0, slot] = True
+        active_up = jnp.zeros((slices, nspins), bool)
+        labels = cluster_ops._label_components(
+            labels0, jnp.asarray(active_sp), prob.nbr_idx, active_up
+        )
+        labels = np.asarray(labels)
+        assert labels[0, 0] == labels[0, 1] == 0  # merged to the min label
+        assert labels[1, 0] == 2 and labels[1, 1] == 3  # others untouched
+
+    def test_temporal_ring_and_bath_edges_merge(self):
+        prob = _two_spin_problem(j=0.9)
+        slices, nspins = 4, 2
+        labels0 = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(
+            slices, nspins
+        )
+        active_sp = jnp.zeros((slices, nspins, prob.nbr_idx.shape[-1]), bool)
+        # Temporal edge slice 1 <-> 2 on spin 1 only.
+        active_up = np.zeros((slices, nspins), bool)
+        active_up[1, 1] = True
+        # Bath edge slice 0 <-> 3 on spin 0 (one directed entry; wolff_update
+        # mirrors the uniform draw, the relax pulls across either direction).
+        active_bath = np.zeros((nspins, slices, slices), bool)
+        active_bath[0, 0, 3] = True
+        active_bath[0, 3, 0] = True
+        labels = np.asarray(
+            cluster_ops._label_components(
+                labels0,
+                active_sp,
+                prob.nbr_idx,
+                jnp.asarray(active_up),
+                jnp.asarray(active_bath),
+            )
+        )
+        assert labels[1, 1] == labels[2, 1]  # temporal merge
+        assert labels[0, 0] == labels[3, 0]  # bath merge
+        # Untouched sites keep singleton labels.
+        assert labels[0, 1] == 1 and labels[1, 0] == 2 and labels[2, 0] == 4
