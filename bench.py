@@ -85,10 +85,24 @@ def _remaining():
     return WALL_DEADLINE_S - (time.time() - _T0)
 
 
-def _emit():
+_FINAL_EMITTED = False
+
+
+def _build_line():
+    """Serialize the current result (caller must hold _LOCK) — the ONE
+    place the output line is shaped, shared by _emit and the watchdog."""
+    _RESULT["elapsed_s"] = round(time.time() - _T0, 1)
+    return json.dumps(_RESULT)
+
+
+def _emit(final=False):
+    global _FINAL_EMITTED
     with _LOCK:
-        _RESULT["elapsed_s"] = round(time.time() - _T0, 1)
-        line = json.dumps(_RESULT)
+        if _FINAL_EMITTED:
+            return  # the watchdog already wrote the final line
+        if final:
+            _FINAL_EMITTED = True
+        line = _build_line()
     print(line, flush=True)
 
 
@@ -100,16 +114,24 @@ def _watchdog():
     Waits in short chunks (re-evaluating the clock each time) and prints
     the final line with a raw fd-1 write: a one-shot Event.wait plus a
     buffered print gives a single chance to flush at the worst possible
-    moment; raw os.write cannot be lost to interpreter/IO-layer state."""
+    moment; raw os.write cannot be lost to interpreter/IO-layer state.
+    The _FINAL_EMITTED flag is checked-and-set under _LOCK, so a main
+    thread finishing concurrently with the deadline cannot produce a
+    second, different final line (ADVICE r3)."""
+    global _FINAL_EMITTED
     while _remaining() > 0.0:
         if _DONE.wait(timeout=min(5.0, max(0.1, _remaining()))):
             return
     with _LOCK:
-        _RESULT["note"] = "watchdog: wall deadline hit, partial results"
-        _RESULT["elapsed_s"] = round(time.time() - _T0, 1)
-        line = json.dumps(_RESULT)
+        if _FINAL_EMITTED:
+            line = None
+        else:
+            _FINAL_EMITTED = True
+            _RESULT["note"] = "watchdog: wall deadline hit, partial results"
+            line = _build_line()
     try:
-        os.write(1, (line + "\n").encode())
+        if line is not None:
+            os.write(1, (line + "\n").encode())
         os.write(2, b"bench watchdog: deadline hit, exiting\n")
     finally:
         os._exit(0)
@@ -214,6 +236,7 @@ def _piqmc_arm(problem):
     confs = qmc.replicate(
         sa.random_state(key, problem.nspins, batch=(chains,)), P
     )
+    out_ref = [None]
 
     def run(tau, seed):
         a = schedules.transverse_field(3.0, 1e-8, tau)
@@ -222,8 +245,15 @@ def _piqmc_arm(problem):
             jax.random.key(seed), global_moves=True,
         )
         float(jnp.sum(out[..., 0, 0]))
+        out_ref[0] = (tau, out)
 
-    return _measure_rate(run, (1000, 3000, 5000), problem.nspins * P * chains)
+    rate, info = _measure_rate(run, (1000, 3000, 5000),
+                               problem.nspins * P * chains)
+    # flagship-path quality spot-check (VERDICT r3 #7): best-slice eps_res
+    # from the largest tau _measure_rate completed
+    tau_q, out = out_ref[0]
+    es = np.asarray(qmc.best_slice_energy(problem, out))
+    return rate, es, tau_q, info
 
 
 def _svmc_arm(problem):
@@ -390,16 +420,24 @@ def _pallas_bath_arm(problem):
 def _cluster_arm(problem):
     """Cluster-update cost at benchmark scale (P=40): ms per Wolff
     cluster (qmc.QuantumAnnealWCL analog, one cluster per schedule step,
-    qmc.pyx:620-786) and ms per SW-bath sweep (WC2 analog,
-    qmc.pyx:1231-1446), slope-timed so dispatch overhead cancels."""
+    qmc.pyx:620-786) — unbatched AND vmapped over 16 chains, where the
+    seed-frontier BFS amortizes (VERDICT r3 #1: the reference's stack
+    growth is O(cluster size); the BFS+batching closes the one path where
+    the Cython reference was effectively faster) — and ms per SW-bath
+    sweep (WC2 analog, qmc.pyx:1231-1446), slope-timed so dispatch
+    overhead cancels."""
     import jax
     import jax.numpy as jnp
     from montecarlosolvers_tpu.solvers import sa, qmc
     from montecarlosolvers_tpu import schedules
 
     P = 40
+    wolff_chains = 16
     key = jax.random.key(7)
     confs = qmc.replicate(sa.random_state(key, problem.nspins), P)
+    confs_b = qmc.replicate(
+        sa.random_state(key, problem.nspins, batch=(wolff_chains,)), P
+    )
     lut = schedules.bath_lookuptable(P, 1e-2)
     out = {}
 
@@ -436,6 +474,21 @@ def _cluster_arm(problem):
     out["wolff_cluster_ms"] = round(ms, 2)
     if degraded:
         out["wolff_cluster_ms_degraded"] = True
+
+    def run_wolff_batched(tau, seed):
+        a = schedules.transverse_field(3.0, 1e-8, tau)
+        o = qmc.anneal_wolff(
+            problem, a, jnp.ones_like(a), 1.0 / P, confs_b,
+            jax.random.key(seed), rule="local",
+        )
+        float(jnp.sum(o[..., 0, 0]))
+
+    if _remaining() > 60:
+        ms, degraded = time_steps(run_wolff_batched, (30, 90))
+        out["wolff_cluster_ms_per_chain"] = round(ms / wolff_chains, 2)
+        out["wolff_cluster_chains"] = wolff_chains
+        if degraded:
+            out["wolff_cluster_ms_per_chain_degraded"] = True
 
     if _remaining() > 45:
         def run_sw(tau, seed):
@@ -638,11 +691,21 @@ def main():
         if _remaining() <= min_rem:
             continue
         try:
-            rate, info = arm(problem)
+            if name == "piqmc":
+                rate, es, tau_q, info = arm(problem)
+                _set(piqmc_slope_spread=info["slope_spread"])
+                if e_gs is not None:
+                    # flagship-path quality gate (VERDICT r3 #7)
+                    _set(
+                        piqmc_eps_res=float(
+                            (es.mean() - e_gs) / problem.nspins
+                        ),
+                        piqmc_eps_res_tau=tau_q,
+                    )
+            else:
+                rate, info = arm(problem)
             _set(**{f"{name}_attempts_per_sec": rate},
                  **({f"{name}_degraded": True} if info.get("degraded") else {}))
-            if name == "piqmc":
-                _set(piqmc_slope_spread=info["slope_spread"])
         except Exception as e:  # noqa: BLE001
             _set(**{f"error_{name}": repr(e)[:200]})
         _emit()

@@ -169,54 +169,80 @@ class TestSWBathExactGibbs:
         assert tv < 0.02, (tv, p_emp, p_exact)
 
 
-class TestLabelComponentsSymmetry:
+class TestSeedComponentSymmetry:
     def test_single_directed_activation_connects_both_endpoints(self):
-        """_label_components symmetrizes the directed spatial mask: one
+        """_seed_component symmetrizes the directed spatial mask: one
         activation drawn at the lower-index endpoint (wolff_update's
-        single-draw convention) must merge the labels of BOTH endpoints,
-        with no push/scatter step."""
+        single-draw convention) must connect BOTH endpoints, from either
+        seed."""
         prob = _two_spin_problem(j=0.9)
         slices, nspins = 2, 2
-        labels0 = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(
-            slices, nspins
-        )
         # Activate only spin 0 -> spin 1 on slice 0 (directed, lower index).
         active_sp = np.zeros((slices, nspins, prob.nbr_idx.shape[-1]), bool)
         slot = int(np.argmax(np.asarray(prob.nbr_idx[0]) == 1))
         active_sp[0, 0, slot] = True
         active_up = jnp.zeros((slices, nspins), bool)
-        labels = cluster_ops._label_components(
-            labels0, jnp.asarray(active_sp), prob.nbr_idx, active_up
-        )
-        labels = np.asarray(labels)
-        assert labels[0, 0] == labels[0, 1] == 0  # merged to the min label
-        assert labels[1, 0] == 2 and labels[1, 1] == 3  # others untouched
+        for seed_spin in (0, 1):  # activation must be visible both ways
+            comp = np.asarray(
+                cluster_ops._seed_component(
+                    0, seed_spin, jnp.asarray(active_sp), prob.nbr_idx,
+                    active_up,
+                )
+            )
+            assert comp[0, 0] and comp[0, 1]
+            assert not comp[1].any()  # other slice untouched
 
     def test_temporal_ring_and_bath_edges_merge(self):
         prob = _two_spin_problem(j=0.9)
         slices, nspins = 4, 2
-        labels0 = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(
-            slices, nspins
-        )
         active_sp = jnp.zeros((slices, nspins, prob.nbr_idx.shape[-1]), bool)
         # Temporal edge slice 1 <-> 2 on spin 1 only.
         active_up = np.zeros((slices, nspins), bool)
         active_up[1, 1] = True
-        # Bath edge slice 0 <-> 3 on spin 0 (one directed entry; wolff_update
-        # mirrors the uniform draw, the relax pulls across either direction).
+        # Bath edge slice 0 <-> 3 on spin 0 (symmetric entries; wolff_update
+        # mirrors the uniform draw so active_bath is symmetric).
         active_bath = np.zeros((nspins, slices, slices), bool)
         active_bath[0, 0, 3] = True
         active_bath[0, 3, 0] = True
-        labels = np.asarray(
-            cluster_ops._label_components(
-                labels0,
-                active_sp,
-                prob.nbr_idx,
-                jnp.asarray(active_up),
+        comp = np.asarray(
+            cluster_ops._seed_component(
+                1, 1, active_sp, prob.nbr_idx, jnp.asarray(active_up),
                 jnp.asarray(active_bath),
             )
         )
-        assert labels[1, 1] == labels[2, 1]  # temporal merge
-        assert labels[0, 0] == labels[3, 0]  # bath merge
-        # Untouched sites keep singleton labels.
-        assert labels[0, 1] == 1 and labels[1, 0] == 2 and labels[2, 0] == 4
+        assert comp[1, 1] and comp[2, 1]  # temporal merge
+        assert comp.sum() == 2
+        comp = np.asarray(
+            cluster_ops._seed_component(
+                3, 0, active_sp, prob.nbr_idx, jnp.asarray(active_up),
+                jnp.asarray(active_bath),
+            )
+        )
+        assert comp[0, 0] and comp[3, 0]  # bath merge
+        assert comp.sum() == 2
+
+    def test_duplicate_neighbor_slots_keep_endpoints_connected(self):
+        """Regression (ADVICE r3): neighbor tables storing the same pair in
+        two slots of a row — produced by generate_neighbors for inputs
+        carrying both (i, j) and (j, i), e.g. a dense symmetric J — must
+        not lose activations drawn on the second duplicate slot."""
+        from montecarlosolvers_tpu.models.ising import IsingProblem
+
+        # Dense symmetric J: the (0, 1) coupling lands twice in each row.
+        J = np.array([[0.0, 0.45], [0.45, 0.0]])
+        prob = IsingProblem.from_couplings(2, J, maxnb=2)
+        nbr = np.asarray(prob.nbr_idx)
+        assert (nbr[0] == 1).sum() == 2  # duplicate slots present
+        slices, nspins = 2, 2
+        active_up = jnp.zeros((slices, nspins), bool)
+        for slot in range(2):  # either duplicate slot alone must connect
+            active_sp = np.zeros((slices, nspins, 2), bool)
+            active_sp[0, 0, slot] = True
+            for seed_spin in (0, 1):
+                comp = np.asarray(
+                    cluster_ops._seed_component(
+                        0, seed_spin, jnp.asarray(active_sp), prob.nbr_idx,
+                        active_up,
+                    )
+                )
+                assert comp[0, 0] and comp[0, 1], (slot, seed_spin)

@@ -567,7 +567,9 @@ class TestSolverDispatch:
         (c32, e32), (c16, e16) = out[jnp.float32], out[jnp.bfloat16]
         assert c16.dtype == confs.dtype
         assert np.array_equal(np.asarray(c32), np.asarray(c16))
-        assert np.array_equal(np.asarray(e32), np.asarray(e16))
+        # trajectories are the bitwise claim; the energy OBSERVABLE may
+        # reorder its reduction per storage dtype (see the SA test below)
+        np.testing.assert_allclose(np.asarray(e32), np.asarray(e16), rtol=1e-6)
 
     def test_sa_bf16_state_bitwise_equals_f32(self, rng):
         """Same bitwise-storage argument for the classical SA split engine
@@ -614,7 +616,8 @@ class TestSolverDispatch:
         (c32, e32), (c16, e16) = out[jnp.float32], out[jnp.bfloat16]
         assert c16.dtype == confs.dtype
         assert np.array_equal(np.asarray(c32), np.asarray(c16))
-        assert np.array_equal(np.asarray(e32), np.asarray(e16))
+        # same last-ULP latitude for the energy observable as the SA test
+        np.testing.assert_allclose(np.asarray(e32), np.asarray(e16), rtol=1e-6)
 
     def test_qmc_anneal_collect_energy_on_lattice(self, rng):
         lat = _lat(4, rng)
