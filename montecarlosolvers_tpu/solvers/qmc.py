@@ -217,7 +217,11 @@ def anneal_sw_bath(problem, a_sched, b_sched, temp, lookuptable, confs, key,
     """Dissipative anneal with Swendsen-Wang-style bath-bond clusters along
     imaginary time (WC2/WC3 family, qmc.pyx:1231-1621).
 
-    per_slice_seeds=True  -> WC3: every (slice, spin) seeds a cluster sweep.
+    per_slice_seeds=True  -> WC3 analog: a full Swendsen-Wang line
+      decomposition (bath + Trotter bonds in the FK draw) updates every
+      cluster of every line per phase (ops/cluster.sw_full_phase) —
+      subsumes the reference's every-slice-seeds-in-turn loop
+      (qmc.pyx:1546) at 1/P the cost.
     per_slice_seeds=False -> WC2: one random seed slice per spin; when
       `local_sweeps` a dissipative local sweep precedes the cluster phase
       (qmc.pyx:1326-1376).
