@@ -45,39 +45,30 @@ class BudgetExceeded(Exception):
     disk, so the restart resumes at the first missing chunk."""
 
 
-def sa_arm(problem, tau, reps, key, pre_temp=3.0, segment=200_000,
-           deadline=None):
+def sa_arm(problem, tau, reps, key, pre_temp=3.0, deadline=None):
     """One SA point: `reps` chains annealed T: pre_temp -> 0 over tau steps
     (examples/santoro80.py:258-262). Returns per-chain energies.
 
-    Schedules longer than `segment` run as several dispatches (a single
-    multi-minute scan dispatch can trip the remote-TPU watchdog). With
+    Dispatch-length safety lives in the solver now (sa.anneal's `segment`,
+    VERDICT r3 #9) — the whole tau=6e6 schedule is ONE call. With
     `deadline` (absolute time.time()), BudgetExceeded is raised before a
-    segment that — at the last segment's measured cost — would overrun it
-    (SA points have no mid-point checkpoint, so an abort recomputes the
-    point, but the budget is respected)."""
+    point whose projected cost — at a conservative device-rate floor —
+    would overrun it (SA points have no mid-point checkpoint, so the check
+    is per point; the floor overestimates cost, aborting early rather
+    than late)."""
+    if deadline is not None:
+        projected = reps * problem.nspins * int(tau) / 1.5e10
+        if time.time() + projected > deadline:
+            raise BudgetExceeded(f"SA tau={tau} (projected {projected:.0f}s)")
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
     sched = np.linspace(pre_temp, 0.0, int(tau), dtype=np.float32)
-    out = s0
-    seg_cost = 0.0
-    for seg_i in range(0, len(sched), segment):
-        if deadline is not None and time.time() + seg_cost > deadline:
-            raise BudgetExceeded(f"SA tau={tau} at step {seg_i}")
-        t_seg = time.time()
-        out = sa.anneal(
-            problem, jnp.asarray(sched[seg_i:seg_i + segment]), out,
-            jax.random.fold_in(k2, seg_i),
-        )
-        if deadline is not None:
-            out.block_until_ready()  # sync only when budget-tracking
-            seg_cost = time.time() - t_seg
+    out = sa.anneal(problem, jnp.asarray(sched), s0, k2)
     return np.asarray(problem.energy(out))
 
 
 def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
-              global_moves=True, chunk=32, segment=25_000,
-              cache_prefix=None, deadline=None):
+              global_moves=True, chunk=32, cache_prefix=None, deadline=None):
     """One PIQMC point following the full MST protocol
     (examples/santoro80.py:269-296): pre-anneal, replicate, Gamma-anneal,
     best-slice readout. Returns per-chain best-slice energies.
@@ -88,10 +79,9 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     ops/split.qmc_anneal_split. Re-running a pre-bf16 cached point needs
     chunk=16 or a fresh cache_prefix: cached chunks are validated
     against the chunk size).
-    Schedules longer than `segment` steps run as several dispatches with
-    per-segment keys — long single dispatches can trip remote-TPU
-    watchdogs (ARCHITECTURE.md §8), and segment boundaries also bound the
-    compile count for very long anneals.
+    Dispatch-length safety lives in the solver now (qmc.anneal's
+    `segment`, VERDICT r3 #9): the whole Gamma schedule is ONE call that
+    never holds the remote-TPU tunnel past ~1 min per dispatch.
 
     With `cache_prefix`, each finished chunk is checkpointed to
     `<cache_prefix>.chunk<i>.npz` and skipped on re-run (cache entries are
@@ -144,12 +134,11 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
         s0 = sa.random_state(k1, problem.nspins, batch=(chunk,))
         s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
         confs = qmc.replicate(s0, slices)
-        for seg_i in range(0, len(a_full), segment):
-            a = jnp.asarray(a_full[seg_i:seg_i + segment])
-            confs = qmc.anneal(
-                problem, a, jnp.ones_like(a), temp, confs,
-                jax.random.fold_in(k3, seg_i), global_moves=global_moves,
-            )
+        a = jnp.asarray(a_full)
+        confs = qmc.anneal(
+            problem, a, jnp.ones_like(a), temp, confs, k3,
+            global_moves=global_moves,
+        )
         es = np.asarray(qmc.best_slice_energy(problem, confs))[:n]
         if part:
             np.savez(part, energies=es)

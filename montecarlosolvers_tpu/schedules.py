@@ -58,3 +58,23 @@ def expand_mcsteps(sched, mcsteps):
     if mcsteps == 1:
         return jnp.asarray(sched)
     return jnp.repeat(jnp.asarray(sched), mcsteps)
+
+
+def segments(num_steps, segment):
+    """[(lo, hi), ...] slicing a `num_steps`-long schedule into dispatches
+    of at most `segment` steps (tail segment may be shorter; at most two
+    distinct lengths, so at most two compiled programs per engine).
+
+    A single multi-minute scan dispatch can crash the remote-TPU worker
+    (observed at ~90 s through the axon tunnel — ARCHITECTURE.md §8), so
+    the solvers slice very long schedules at the host level and fold the
+    PRNG key per segment; `segment=None` disables slicing. A schedule
+    that fits one segment is returned as [(0, num_steps)] and the caller
+    uses the key unfolded — short anneals stay bitwise-identical to the
+    pre-segmentation behavior."""
+    if segment is None or num_steps <= segment:
+        return [(0, num_steps)]
+    return [
+        (lo, min(lo + segment, num_steps))
+        for lo in range(0, num_steps, segment)
+    ]

@@ -50,14 +50,9 @@ def best_slice_energy(problem, confs):
     return jnp.min(problem.energy(confs), axis=-1)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mcsteps", "global_moves", "collect_energy",
-                     "bath_update"),
-)
 def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
            global_moves=False, lookuptable=None, collect_energy=False,
-           bath_update="sequential"):
+           bath_update="sequential", segment=25_000):
     """PIQMC anneal over the transverse-field schedule.
 
     Args:
@@ -81,12 +76,16 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
         snapshot-bath colored sweep with no sequential slice loop
         (ops/piqmc.dissipative_colored_sweep for the validated bias
         bounds). Ignored without a lookuptable.
+      segment: max sweeps per device dispatch (schedules.segments) — a
+        tau=6e6 anneal runs as ONE call without any single dispatch
+        holding the remote-TPU tunnel past its ~90 s crash threshold
+        (VERDICT r3 #9). 25k sweeps is ~4 s at the benchmark's measured
+        flagship PIQMC rate. One-segment schedules keep the unfolded key
+        (bitwise-identical to the unsegmented behavior). None disables.
 
     Returns:
       confs, or (confs, energies) when collect_energy.
     """
-    from montecarlosolvers_tpu.ops import split as split_ops
-
     if bath_update not in ("sequential", "colored"):
         raise ValueError(
             f"bath_update must be 'sequential' or 'colored', got "
@@ -94,6 +93,34 @@ def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
         )
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+
+    segs = sched_mod.segments(a.shape[0], segment)
+    es_parts = []
+    for lo, hi in segs:
+        k = key if len(segs) == 1 else jax.random.fold_in(key, lo)
+        out = _anneal_segment(
+            problem, a[lo:hi], b[lo:hi], temp, confs, k,
+            global_moves=global_moves, lookuptable=lookuptable,
+            collect_energy=collect_energy, bath_update=bath_update,
+        )
+        confs, es = out if collect_energy else (out, None)
+        if collect_energy:
+            es_parts.append(es)
+    if collect_energy:
+        es = es_parts[0] if len(es_parts) == 1 else jnp.concatenate(es_parts)
+        return confs, es
+    return confs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("global_moves", "collect_energy", "bath_update"),
+)
+def _anneal_segment(problem, a, b, temp, confs, key, global_moves=False,
+                    lookuptable=None, collect_energy=False,
+                    bath_update="sequential"):
+    """One jitted dispatch of `anneal` over a pre-expanded schedule slice."""
+    from montecarlosolvers_tpu.ops import split as split_ops
 
     slices = confs.shape[-2]
     if split_ops.supports_split(problem, slices):

@@ -48,7 +48,7 @@ _split_sa_jit = partial(
 
 
 def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False,
-           engine="auto"):
+           engine="auto", segment=200_000):
     """Thermal anneal over the temperature schedule `sched`.
 
     Args:
@@ -66,43 +66,57 @@ def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False,
         engine — the engine a vmapped call (traced problem leaves, e.g.
         parallel/disorder.py) necessarily uses, so solo-vs-vmapped
         bitwise comparisons should pin it.
+      segment: max sweeps per device dispatch (schedules.segments): very
+        long schedules run as several dispatches with per-segment folded
+        keys, so a tau=6e6 anneal is ONE call that never holds the device
+        >~1 min (the remote-TPU tunnel crashes past ~90 s — VERDICT r3
+        #9). 200k sweeps is ~16 s at the benchmark's measured SA rate.
+        Schedules that fit one segment keep the unfolded key — bitwise
+        identical to the unsegmented behavior. None disables.
 
     Returns:
       spins (same shape), or (spins, energies) when collect_energy.
     """
     from montecarlosolvers_tpu.models.dense import DenseProblem
 
-    if isinstance(problem, DenseProblem):
-        # fully-connected problems route to the MXU blocked-sequential
-        # engine (coloring degenerates on complete graphs)
-        from montecarlosolvers_tpu.ops.dense_sweep import dense_anneal
-
-        return dense_anneal(problem, sched, spins, key, mcsteps=mcsteps,
-                            collect_energy=collect_energy)
-
     temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    segs = sched_mod.segments(temps.shape[0], segment)
+    es_parts = []
+    for lo, hi in segs:
+        k = key if len(segs) == 1 else jax.random.fold_in(key, lo)
+        t_seg = temps[lo:hi]
+        if isinstance(problem, DenseProblem):
+            # fully-connected problems route to the MXU blocked-sequential
+            # engine (coloring degenerates on complete graphs)
+            from montecarlosolvers_tpu.ops.dense_sweep import dense_anneal
 
-    if engine == "masked":
-        spins, es = _sweep_scan_jit(
-            problem, spins, key, temps, collect_energy=collect_energy
-        )
-    elif split_ops.supports_split(problem):
-        # even-L lattices take the split-checkerboard engine
-        # (ops/split.py): maskless half-array phases, zero lane padding
-        spins, es = _split_sa_jit(
-            problem, temps, spins, key, collect_energy=collect_energy
-        )
-    elif packed_ops.supports_packed(problem):
-        # arbitrary graphs: class-major packed layout (ops/packed.py) —
-        # maskless block phases, no per-color wasted field/accept work
-        spins, es = packed_ops.packed_sweep_scan(
-            problem, spins, key, temps, collect_energy=collect_energy
-        )
-    else:
-        spins, es = _sweep_scan_jit(
-            problem, spins, key, temps, collect_energy=collect_energy
-        )
+            out = dense_anneal(problem, t_seg, spins, k,
+                               collect_energy=collect_energy)
+            spins, es = out if collect_energy else (out, None)
+        elif engine == "masked":
+            spins, es = _sweep_scan_jit(
+                problem, spins, k, t_seg, collect_energy=collect_energy
+            )
+        elif split_ops.supports_split(problem):
+            # even-L lattices take the split-checkerboard engine
+            # (ops/split.py): maskless half-array phases, zero lane padding
+            spins, es = _split_sa_jit(
+                problem, t_seg, spins, k, collect_energy=collect_energy
+            )
+        elif packed_ops.supports_packed(problem):
+            # arbitrary graphs: class-major packed layout (ops/packed.py) —
+            # maskless block phases, no per-color wasted field/accept work
+            spins, es = packed_ops.packed_sweep_scan(
+                problem, spins, k, t_seg, collect_energy=collect_energy
+            )
+        else:
+            spins, es = _sweep_scan_jit(
+                problem, spins, k, t_seg, collect_energy=collect_energy
+            )
+        if collect_energy:
+            es_parts.append(es)
     if collect_energy:
+        es = es_parts[0] if len(es_parts) == 1 else jnp.concatenate(es_parts)
         return spins, es
     return spins
 

@@ -71,35 +71,48 @@ def _masked_noisy_svmc_scan(problem, a, b, temp, nbr_J_sched, h_sched,
 
 
 def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
-           collect_energy=False):
+           collect_energy=False, segment=100_000):
     """SVMC anneal over (A, B) schedules at fixed temperature.
 
     theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
     tf=True uses transverse-field-informed proposals (svmc.pyx:198-207).
     collect_energy emits per-sweep z-projected classical energies.
+    segment: max sweeps per device dispatch (schedules.segments) — very
+    long schedules run as several dispatches with per-segment folded keys
+    so no dispatch holds the remote-TPU tunnel past its ~90 s crash
+    threshold (VERDICT r3 #9; ~13 s per 100k sweeps at the measured SVMC
+    rate). One-segment schedules keep the unfolded key. None disables.
     Returns the annealed angles; project with ops.svmc_ops.z_projection.
     """
     a = sched_mod.expand_mcsteps(a_sched, mcsteps)
     b = sched_mod.expand_mcsteps(b_sched, mcsteps)
 
-    if split_ops.supports_split(problem):
-        # even-L lattices: maskless split-checkerboard engine (ops/split.py)
-        theta, es = _split_svmc_jit(
-            problem, a, b, temp, theta, key, tf=tf,
-            collect_energy=collect_energy,
-        )
-    elif packed_ops.supports_packed(problem):
-        # arbitrary graphs: class-major packed layout (ops/packed.py)
-        theta, es = packed_ops.packed_svmc_scan(
-            problem, a, b, temp, theta, key, tf=tf,
-            collect_energy=collect_energy,
-        )
-    else:
-        theta, es = _masked_svmc_scan(
-            problem, a, b, temp, theta, key, tf=tf,
-            collect_energy=collect_energy,
-        )
+    segs = sched_mod.segments(a.shape[0], segment)
+    es_parts = []
+    for lo, hi in segs:
+        k = key if len(segs) == 1 else jax.random.fold_in(key, lo)
+        if split_ops.supports_split(problem):
+            # even-L lattices: maskless split-checkerboard engine
+            # (ops/split.py)
+            theta, es = _split_svmc_jit(
+                problem, a[lo:hi], b[lo:hi], temp, theta, k, tf=tf,
+                collect_energy=collect_energy,
+            )
+        elif packed_ops.supports_packed(problem):
+            # arbitrary graphs: class-major packed layout (ops/packed.py)
+            theta, es = packed_ops.packed_svmc_scan(
+                problem, a[lo:hi], b[lo:hi], temp, theta, k, tf=tf,
+                collect_energy=collect_energy,
+            )
+        else:
+            theta, es = _masked_svmc_scan(
+                problem, a[lo:hi], b[lo:hi], temp, theta, k, tf=tf,
+                collect_energy=collect_energy,
+            )
+        if collect_energy:
+            es_parts.append(es)
     if collect_energy:
+        es = es_parts[0] if len(es_parts) == 1 else jnp.concatenate(es_parts)
         return theta, es
     return theta
 
