@@ -63,7 +63,10 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0, deadline=None):
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
     sched = np.linspace(pre_temp, 0.0, int(tau), dtype=np.float32)
-    out = sa.anneal(problem, jnp.asarray(sched), s0, k2)
+    # pad to a compile bucket: NaN steps are exact no-ops (VERDICT r3 #8),
+    # so a 14-tau matrix compiles <=3 SA program shapes instead of 14
+    sched = schedules.pad_schedule(sched, sa.SEGMENT)
+    out = sa.anneal(problem, sched, s0, k2)
     return np.asarray(problem.energy(out))
 
 
@@ -95,8 +98,16 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
     fieldstart = 3.0 if pt == 1 else 2.5
     pre = schedules.pre_anneal_schedule(pre_temp, pt)
     # host-side numpy: jnp.linspace + np.asarray would compute the 6M-
-    # element schedule on device and fetch it through the tunnel per call
-    a_full = np.linspace(fieldstart, 1e-8, int(tau), dtype=np.float32)
+    # element schedule on device and fetch it through the tunnel per call.
+    # NaN-padded to a compile bucket (exact no-op steps, VERDICT r3 #8):
+    # the whole 14-tau matrix compiles <=3 PIQMC program shapes per arm.
+    a_full = schedules.pad_schedule(
+        np.linspace(fieldstart, 1e-8, int(tau), dtype=np.float32),
+        qmc.SEGMENT,
+    )
+    # B pads must be NaN too: global line moves depend on B alone, so a
+    # real B on a pad step would execute them
+    b_full = jnp.where(jnp.isnan(a_full), jnp.nan, 1.0)
     outs = []
     done = 0
     # Seed the per-chunk cost estimate with an optimistic device-rate floor
@@ -134,9 +145,8 @@ def piqmc_arm(problem, tau, reps, key, pt=1.0, slices=40, pre_temp=3.0,
         s0 = sa.random_state(k1, problem.nspins, batch=(chunk,))
         s0 = sa.anneal(problem, pre, s0, k2, mcsteps=100)
         confs = qmc.replicate(s0, slices)
-        a = jnp.asarray(a_full)
         confs = qmc.anneal(
-            problem, a, jnp.ones_like(a), temp, confs, k3,
+            problem, a_full, b_full, temp, confs, k3,
             global_moves=global_moves,
         )
         es = np.asarray(qmc.best_slice_energy(problem, confs))[:n]

@@ -33,8 +33,14 @@ def metropolis_accept(de, temp, u):
     The reference's `crand()/RAND_MAX` draw has far coarser granularity
     (floor ~3e-5 at RAND_MAX = 32767, sa.pyx:96-99), so this corrects
     rather than deviates. Safe at T = 0: -0.0 * log1p(-u) = 0, which
-    never beats an uphill dE."""
-    return (de <= 0.0) | (-temp * jnp.log1p(-u) > de)
+    never beats an uphill dE.
+
+    The downhill branch compares against `0.0 * temp` (identical to 0.0
+    for every finite schedule temperature): a NaN temperature then
+    rejects BOTH branches, making a NaN schedule step an exact no-op in
+    every XLA engine. bench/mst.py exploits this to pad schedules to a
+    few compile-shape buckets (schedules.pad_schedule)."""
+    return (de <= 0.0 * temp) | (-temp * jnp.log1p(-u) > de)
 
 
 # Color loops with at most this many phases are unrolled (best fusion);

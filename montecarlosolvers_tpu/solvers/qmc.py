@@ -27,6 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu import schedules as sched_mod
+
+# Default max sweeps per device dispatch (schedules.segments): bounds a
+# single scan dispatch well under the remote-TPU tunnel's ~90 s crash
+# threshold at benchmark scale. bench/mst.py pads schedules against this
+# (schedules.pad_schedule) to bucket compile shapes.
+SEGMENT = 25_000
 from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
 from montecarlosolvers_tpu.ops import cluster as cluster_ops
 
@@ -52,7 +58,7 @@ def best_slice_energy(problem, confs):
 
 def anneal(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
            global_moves=False, lookuptable=None, collect_energy=False,
-           bath_update="sequential", segment=25_000):
+           bath_update="sequential", segment=SEGMENT):
     """PIQMC anneal over the transverse-field schedule.
 
     Args:

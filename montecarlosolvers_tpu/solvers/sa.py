@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu import schedules as sched_mod
+
+# Default max sweeps per device dispatch (schedules.segments): bounds a
+# single scan dispatch well under the remote-TPU tunnel's ~90 s crash
+# threshold at benchmark scale. bench/mst.py pads schedules against this
+# (schedules.pad_schedule) to bucket compile shapes.
+SEGMENT = 200_000
 from montecarlosolvers_tpu.ops.metropolis import (
     noisy_colored_sweep,
     sweep_scan,
@@ -48,7 +54,7 @@ _split_sa_jit = partial(
 
 
 def anneal(problem, sched, spins, key, mcsteps=1, collect_energy=False,
-           engine="auto", segment=200_000):
+           engine="auto", segment=SEGMENT):
     """Thermal anneal over the temperature schedule `sched`.
 
     Args:

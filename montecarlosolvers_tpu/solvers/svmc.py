@@ -21,6 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from montecarlosolvers_tpu import schedules as sched_mod
+
+# Default max sweeps per device dispatch (schedules.segments): bounds a
+# single scan dispatch well under the remote-TPU tunnel's ~90 s crash
+# threshold at benchmark scale. bench/mst.py pads schedules against this
+# (schedules.pad_schedule) to bucket compile shapes.
+SEGMENT = 100_000
 from montecarlosolvers_tpu.ops import svmc_ops
 from montecarlosolvers_tpu.ops import packed as packed_ops
 from montecarlosolvers_tpu.ops import split as split_ops
@@ -71,7 +77,7 @@ def _masked_noisy_svmc_scan(problem, a, b, temp, nbr_J_sched, h_sched,
 
 
 def anneal(problem, a_sched, b_sched, temp, theta, key, mcsteps=1, tf=False,
-           collect_energy=False, segment=100_000):
+           collect_energy=False, segment=SEGMENT):
     """SVMC anneal over (A, B) schedules at fixed temperature.
 
     theta: (..., N) rotor angles in [0, pi]; leading dims are reads/chains.
