@@ -21,14 +21,27 @@ per local slice step — the cross-device analog of the reference's own
 tolerated asynchrony (its `prange` races, SURVEY.md §5 "race detection"),
 validated statistically rather than bitwise.
 
-Perf status (ARCHITECTURE.md §6): correctness-grade. Validated on the
-virtual CPU mesh only (this environment has one real chip); the sweep is
-the generic masked engine, not the split layout. The halo exchange runs
-once per color phase ON PURPOSE: boundary slices contain sites of every
-spatial color, so the remote Trotter neighbors they read change every
-phase — hoisting the exchange out of the color loop would evaluate dE
-against stale spins and reintroduce the async races the coloring exists
-to eliminate.
+Two engines (both validated on the virtual CPU mesh only — this
+environment has one real chip):
+
+  * `anneal_sharded` — generic masked engine on any problem graph; the
+    halo exchange runs once per color phase ON PURPOSE: boundary slices
+    contain sites of every spatial color, so the remote Trotter
+    neighbors they read change every phase — hoisting the exchange out
+    of the color loop would evaluate dE against stale spins and
+    reintroduce the async races the coloring exists to eliminate.
+  * `anneal_sharded_split` (VERDICT r3 #5) — the PRODUCTION
+    split-checkerboard quarter layout (ops/split.py) with the q =
+    half-Trotter axis sharded over "replica": the Trotter coupling of
+    each quarter update is exactly one boundary half-slice `ppermute`
+    per direction (the X phase needs yo[q-1]/ye[q+1]; the Y phase the
+    updated xo[q-1]/xe[q+1]), global line moves psum their per-shard
+    partial dE, and the bfloat16 carry flows through unchanged. With
+    rng="replicated" (each shard slices its rows out of the full-shape
+    uniform draw) the local sweep is BITWISE identical to the
+    single-device split engine — the test bar tests/test_parallel.py
+    pins; rng="sharded" folds the shard index for independent per-shard
+    streams at zero redundant uniform generation (production default).
 """
 
 from __future__ import annotations
@@ -240,3 +253,186 @@ def anneal_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
 
     confs, _ = jax.lax.scan(body, confs, (a, b, keys))
     return confs
+
+
+# --------------------------------------------------------------------------
+# Split-checkerboard quarter layout, Trotter-sharded (VERDICT r3 #5)
+# --------------------------------------------------------------------------
+
+
+def _ring_up(v, axis):
+    """Global jnp.roll(v, +1, axis=-2) across the sharded q axis: element
+    q reads q-1, the first local row reading the previous shard's last —
+    one boundary half-slice ppermute."""
+    ndev = lax.axis_size(axis)
+    fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+    from_left = lax.ppermute(v[..., -1, :], axis, fwd)
+    return jnp.concatenate([from_left[..., None, :], v[..., :-1, :]], axis=-2)
+
+
+def _ring_dn(v, axis):
+    """Global jnp.roll(v, -1, axis=-2): element q reads q+1."""
+    ndev = lax.axis_size(axis)
+    bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+    from_right = lax.ppermute(v[..., 0, :], axis, bwd)
+    return jnp.concatenate([v[..., 1:, :], from_right[..., None, :]], axis=-2)
+
+
+def _split_draw(key, s, q_local, axis, rng):
+    """Per-quarter acceptance/proposal uniforms on a q-sharded array.
+
+    rng="replicated": every shard draws the FULL (q_total, Nh) array with
+    the unfolded key and slices its own rows — bitwise identical to the
+    single-device engine's draw, at ndev-times redundant generation.
+    rng="sharded": fold (replica, chains) indices for independent streams
+    with no redundancy (production default)."""
+    if rng == "replicated":
+        ndev = lax.axis_size(axis)
+        me = lax.axis_index(axis)
+        u = jax.random.uniform(
+            key, s.shape[:-2] + (q_local * ndev, s.shape[-1])
+        )
+        return lax.dynamic_slice_in_dim(u, me * q_local, q_local, axis=-2)
+    kk = jax.random.fold_in(key, lax.axis_index(axis))
+    try:
+        kk = jax.random.fold_in(kk, lax.axis_index("chains"))
+    except NameError:
+        pass
+    return jax.random.uniform(kk, s.shape)
+
+
+def _split_sharded_sweep(sl, xe, xo, ye, yo, key, temp, gamma, b, axis, rng):
+    """One space-time colored sweep on the q-sharded quarter layout —
+    the sharded form of ops/split.qmc_split_sweep (same quarter update
+    order, same key-split structure; jnp.roll on q becomes _ring_up/_dn)."""
+    from montecarlosolvers_tpu.ops.split import _spatial_field
+
+    ndev = lax.axis_size(axis)
+    q_local = xe.shape[-2]
+    slices = 2 * q_local * ndev
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    bc = -2.0 * b
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def upd(s, f_sp_h, tr, k):
+        de = bc * s * f_sp_h + 2.0 * s * jp * tr
+        u = _split_draw(k, s, q_local, axis, rng)
+        return jnp.where(metropolis_accept(de, teff, u), -s, s)
+
+    xe = upd(xe, _spatial_field(wa, ye, sl.K) + ha, yo + _ring_up(yo, axis), k1)
+    xo = upd(xo, _spatial_field(wb, yo, sl.K) + hb, ye + _ring_dn(ye, axis), k2)
+    ye = upd(ye, _spatial_field(wb, xe, sl.K) + hb, xo + _ring_up(xo, axis), k3)
+    yo = upd(yo, _spatial_field(wa, xo, sl.K) + ha, xe + _ring_dn(xe, axis), k4)
+    return xe, xo, ye, yo
+
+
+def _split_sharded_global(sl, xe, xo, ye, yo, key, temp, b, axis):
+    """Whole-line flips on the q-sharded quarter layout: per-shard partial
+    dE summed with a psum; acceptance uniforms use the replica-unfolded
+    key so every shard of a line agrees (chains fold per chain shard)."""
+    from montecarlosolvers_tpu.ops.split import _spatial_field
+
+    ndev = lax.axis_size(axis)
+    slices = 2 * xe.shape[-2] * ndev
+    teff = temp * slices
+    bc = -2.0 * b
+    ka, kb = jax.random.split(key)
+    try:
+        ka = jax.random.fold_in(ka, lax.axis_index("chains"))
+        kb = jax.random.fold_in(kb, lax.axis_index("chains"))
+    except NameError:
+        pass
+    wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
+    wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
+
+    de = bc * lax.psum(
+        jnp.sum(xe * (_spatial_field(wa, ye, sl.K) + ha), axis=-2)
+        + jnp.sum(yo * (_spatial_field(wa, xo, sl.K) + ha), axis=-2),
+        axis,
+    )
+    u = jax.random.uniform(ka, de.shape)
+    m = jnp.where(metropolis_accept(de, teff, u), -1.0, 1.0)[..., None, :]
+    xe = xe * m.astype(xe.dtype)
+    yo = yo * m.astype(yo.dtype)
+
+    de = bc * lax.psum(
+        jnp.sum(ye * (_spatial_field(wb, xe, sl.K) + hb), axis=-2)
+        + jnp.sum(xo * (_spatial_field(wb, yo, sl.K) + hb), axis=-2),
+        axis,
+    )
+    u = jax.random.uniform(kb, de.shape)
+    m = jnp.where(metropolis_accept(de, teff, u), -1.0, 1.0)[..., None, :]
+    ye = ye * m.astype(ye.dtype)
+    xo = xo * m.astype(xo.dtype)
+    return xe, xo, ye, yo
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "mcsteps", "global_moves", "chains_sharded",
+                     "rng", "state_dtype"),
+)
+def anneal_sharded_split(problem, a_sched, b_sched, temp, confs, key, mesh,
+                         mcsteps=1, global_moves=False, chains_sharded=False,
+                         rng="sharded", state_dtype=jnp.bfloat16):
+    """PIQMC anneal on the PRODUCTION split-checkerboard engine with the
+    half-Trotter (q) axis sharded over mesh axis "replica" (and optionally
+    the chain batch over "chains").
+
+    confs: (..., P, N) on an even-L LatticeProblem with P/2 divisible by
+    the replica axis size. Semantics match ops/split.qmc_anneal_split;
+    the Trotter halo is one boundary half-slice ppermute per direction
+    per quarter phase. rng="replicated" makes the local sweep BITWISE
+    identical to the single-device split engine (chains must then be
+    unsharded; global-move dE reductions may still differ in the last
+    ULP, so the bitwise bar applies to global_moves=False);
+    rng="sharded" (default) folds shard indices for independent streams.
+    """
+    from montecarlosolvers_tpu.ops import split as split_ops
+
+    if rng not in ("sharded", "replicated"):
+        raise ValueError(f"rng must be 'sharded' or 'replicated', got {rng!r}")
+    sl = split_ops.build_split(problem)
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+    in_dtype = confs.dtype
+    state = tuple(
+        q.astype(state_dtype) for q in split_ops.pack_qmc(sl, confs)
+    )
+
+    replica_size = mesh.shape["replica"]
+    q_total = state[0].shape[-2]
+    if q_total % replica_size:
+        raise ValueError(
+            f"P/2 = {q_total} must divide by the replica axis size "
+            f"{replica_size}"
+        )
+
+    spec_q = _conf_spec(state[0].ndim, chains_sharded)
+
+    def sweep(xe, xo, ye, yo, k, gamma, bcur):
+        k1, k2 = jax.random.split(k)
+        st = _split_sharded_sweep(
+            sl, xe, xo, ye, yo, k1, temp, gamma, bcur, "replica", rng
+        )
+        if global_moves:
+            st = _split_sharded_global(sl, *st, k2, temp, bcur, "replica")
+        return st
+
+    sharded_sweep = shard_map(
+        sweep,
+        mesh,
+        in_specs=(spec_q,) * 4 + (P(), P(), P()),
+        out_specs=(spec_q,) * 4,
+    )
+
+    def body(state, x):
+        gamma, bcur, k = x
+        return sharded_sweep(*state, k, gamma, bcur), None
+
+    state, _ = jax.lax.scan(body, state, (a, b, keys))
+    return split_ops.unpack_qmc(sl, *(q.astype(in_dtype) for q in state))

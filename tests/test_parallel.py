@@ -266,3 +266,122 @@ class TestTrotterSharding:
             extended_energy(prob, out, temp, gamma)).mean())
         # 192 iid converged chains; energy scale O(1)
         assert abs(e_emp - e_exact) < 0.35, (e_emp, e_exact)
+
+
+class TestTrotterShardingSplit:
+    """Split-checkerboard quarter layout sharded over the Trotter axis
+    (parallel/trotter.anneal_sharded_split, VERDICT r3 #5)."""
+
+    def _lat(self, L=4):
+        problem, _ = instances.random_2d_lattice(L, rng=0, lattice=True)
+        return problem
+
+    def test_replicated_rng_bitwise_matches_single_device(
+        self, rng, eight_devices
+    ):
+        """rng="replicated" local sweeps are BITWISE the single-device
+        split engine: every shard slices its rows from the same uniform
+        draw and all other ops are elementwise."""
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        problem = self._lat()
+        mesh = make_mesh(replica=8)
+        P_slices = 16  # q_total = 8, one q row per device
+        key = jax.random.key(21)
+        confs = qmc.replicate(
+            sa.random_state(key, problem.nspins, batch=(3,)), P_slices
+        )
+        a = schedules.transverse_field(2.5, 1e-8, 30)
+        b = jnp.ones_like(a)
+        ref = np.asarray(
+            split_ops.qmc_anneal_split(
+                problem, a, b, 1.0 / P_slices, confs, key
+            )[0]
+        )
+        out = np.asarray(
+            trotter.anneal_sharded_split(
+                problem, a, b, 1.0 / P_slices, confs, key, mesh,
+                rng="replicated",
+            )
+        )
+        assert np.array_equal(ref, out)
+
+    def test_sharded_rng_global_moves_reach_ground_state(
+        self, rng, eight_devices
+    ):
+        problem = self._lat()
+        e_gs, _ = brute_force_ground(problem.to_generic())
+        mesh = make_mesh(replica=8)
+        P_slices = 16
+        k1, k2, k3 = jax.random.split(jax.random.key(23), 3)
+        s0 = sa.random_state(k1, problem.nspins, batch=(4,))
+        s0 = sa.anneal(problem, schedules.pre_anneal_schedule(3.0, 1.0),
+                       s0, k2, mcsteps=5)
+        confs = qmc.replicate(s0, P_slices)
+        a = schedules.transverse_field(3.0, 1e-8, 300)
+        out = trotter.anneal_sharded_split(
+            problem, a, jnp.ones_like(a), 1.0 / P_slices, confs, k3, mesh,
+            global_moves=True,
+        )
+        out = np.asarray(out)
+        assert set(np.unique(out)) <= {-1.0, 1.0}
+        best = float(np.min(np.asarray(
+            qmc.best_slice_energy(problem, jnp.asarray(out))
+        )))
+        assert best <= e_gs + 0.1 * abs(e_gs), (best, e_gs)
+
+    def test_chains_and_replica_2d_mesh(self, rng, eight_devices):
+        problem = self._lat()
+        mesh = make_mesh(chains=2, replica=4)
+        P_slices = 8
+        key = jax.random.key(27)
+        confs = qmc.replicate(
+            sa.random_state(key, problem.nspins, batch=(4,)), P_slices
+        )
+        confs = shard_chains(confs, mesh)
+        a = schedules.transverse_field(2.5, 1e-8, 40)
+        out = np.asarray(
+            trotter.anneal_sharded_split(
+                problem, a, jnp.ones_like(a), 1.0 / P_slices, confs, key,
+                mesh, global_moves=True, chains_sharded=True,
+            )
+        )
+        assert out.shape == (4, P_slices, problem.nspins)
+        assert set(np.unique(out)) <= {-1.0, 1.0}
+
+    def test_sharded_equilibrium_matches_exact(self, rng, eight_devices):
+        """Distribution bar for the sharded-rng split engine: fixed
+        (Gamma, T) equilibrium mean extended energy vs exact enumeration
+        on a 4x4 lattice at P=16 is infeasible; use the same tiny-system
+        protocol as the masked-engine test but on a 2x2 LATTICE (N=4,
+        P=16 -> 2^64 states is too many, so compare against the
+        single-device split engine's empirical mean instead — same
+        sampler family, independent streams)."""
+        problem = self._lat(L=2)
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        if not split_ops.supports_split(problem, 16):
+            pytest.skip("2x2 lattice not split-eligible")
+        mesh = make_mesh(replica=8)
+        P_slices, temp, gamma = 16, 0.8, 6.0
+        chains = 128
+        key = jax.random.key(31)
+        confs = qmc.replicate(
+            sa.random_state(key, problem.nspins, batch=(chains,)), P_slices
+        )
+        a = jnp.full((250,), gamma)
+        b = jnp.ones_like(a)
+        out_sh = trotter.anneal_sharded_split(
+            problem, a, b, temp, confs, key, mesh
+        )
+        out_ref = split_ops.qmc_anneal_split(
+            problem, a, b, temp, confs, jax.random.key(33)
+        )[0]
+        e_sh = np.asarray(extended_energy(problem.to_generic(),
+                                          jnp.asarray(out_sh), temp, gamma))
+        e_ref = np.asarray(extended_energy(problem.to_generic(),
+                                           jnp.asarray(out_ref), temp, gamma))
+        se = np.sqrt(e_sh.var() / chains + e_ref.var() / chains)
+        assert abs(e_sh.mean() - e_ref.mean()) < 4.0 * se, (
+            e_sh.mean(), e_ref.mean(), se
+        )
