@@ -1,0 +1,246 @@
+"""Cluster-update value experiment (VERDICT r3 #2).
+
+Does mixing cluster moves into the flagship anneal improve residual
+energy at EQUAL WALL-CLOCK on TPU? The reference's cluster section
+(qmc.pyx:620-1621) exists on the premise that cluster moves accelerate
+mixing; this experiment measures whether that premise survives the TPU
+cost model, where a local+global sweep is a few hundred microseconds for
+a whole chain batch while one Wolff cluster costs ~10 ms/chain
+(BENCH_r03/r04 cluster arm).
+
+Protocol (santoro 80x80, P=40, PT=1 — the benchmark config):
+  * baseline(tau): MST-style PIQMC local+global anneal, tau steps.
+  * mixed(tau, n_cl): the same anneal cut into n_cl segments with one
+    WCL Wolff cluster update per chain between segments (at the segment
+    boundary's Gamma). Mean flipped-cluster size is recorded — in a 2D
+    +-J spin glass satisfied-bond FK clusters near the percolation point
+    flip O(volume) chunks, which is exactly when they stop being useful
+    moves, so the size trace explains the result either way.
+  * equal-wall baseline: baseline re-run at tau' chosen so its measured
+    wall matches the mixed arm's (the honest comparison: cluster moves
+    must beat MORE LOCAL SWEEPS, not a time-handicapped baseline).
+  * dissipative variant: same design with the bath local engine
+    (alpha=1e-2 lookuptable) and the full-SW line-decomposition sweep
+    (ops/cluster.sw_full_phase, 10.4 ms/sweep) as the cluster move.
+
+Writes results/cluster_value/summary.json and prints a table. Resume:
+completed arms are cached by name and skipped on re-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.solvers import sa, qmc
+from montecarlosolvers_tpu import schedules
+
+
+CHAINS = 32
+P = 40
+PT = 1.0
+
+
+def _pre_annealed(problem, key, chains=CHAINS):
+    k1, k2 = jax.random.split(key)
+    s0 = sa.random_state(k1, problem.nspins, batch=(chains,))
+    s0 = sa.anneal(problem, schedules.pre_anneal_schedule(3.0, PT), s0, k2,
+                   mcsteps=100)
+    return qmc.replicate(s0, P)
+
+
+def _eps(problem, e_gs, confs):
+    es = np.asarray(qmc.best_slice_energy(problem, confs))
+    return float((es.mean() - e_gs) / problem.nspins)
+
+
+def baseline_arm(problem, e_gs, tau, key, confs0, lookuptable=None):
+    """tau local(+global / bath) sweeps; returns (eps, wall_s)."""
+    a = jnp.asarray(np.linspace(3.0, 1e-8, int(tau), dtype=np.float32))
+    kw = (
+        dict(lookuptable=lookuptable) if lookuptable is not None
+        else dict(global_moves=True)
+    )
+    out = qmc.anneal(problem, a, jnp.ones_like(a), PT / P, confs0, key, **kw)
+    float(jnp.sum(out))  # fetch: block_until_ready can return early
+    # best-of-2 timed runs: the first timed window of a process absorbs
+    # residual queued work through the tunnel (observed 3.9 s for a run a
+    # clean window does in 1.3 s)
+    eps, wall = None, np.inf
+    for t in (1, 2):
+        t0 = time.time()
+        out = qmc.anneal(
+            problem, a, jnp.ones_like(a), PT / P, confs0,
+            jax.random.fold_in(key, t), **kw
+        )
+        e = _eps(problem, e_gs, out)  # fetch doubles as completion sync
+        if time.time() - t0 < wall:
+            wall = time.time() - t0
+        if eps is None:
+            eps = e
+    return eps, wall
+
+
+def mixed_arm(problem, e_gs, tau, key, confs0, n_cl=10, lookuptable=None):
+    """tau sweeps in n_cl segments + one cluster move per boundary.
+
+    Non-dissipative: WCL Wolff cluster (anneal_wolff, rule="local"),
+    vmapped over chains. Dissipative: one full-SW line-decomposition
+    sweep (anneal_sw_bath, per_slice_seeds=True).
+    Returns (eps, wall_s, mean_flip_fraction).
+    """
+    a_np = np.linspace(3.0, 1e-8, int(tau), dtype=np.float32)
+    seg = int(tau) // n_cl
+    kw = (
+        dict(lookuptable=lookuptable) if lookuptable is not None
+        else dict(global_moves=True)
+    )
+
+    def run(confs, key, sync):
+        flip_frac = []
+        for i in range(n_cl):
+            a = jnp.asarray(a_np[i * seg:(i + 1) * seg])
+            confs = qmc.anneal(
+                problem, a, jnp.ones_like(a), PT / P, confs,
+                jax.random.fold_in(key, i), **kw
+            )
+            g_end = jnp.float32(a_np[min((i + 1) * seg, len(a_np)) - 1])
+            one = jnp.asarray([g_end])
+            kc = jax.random.fold_in(key, 1000 + i)
+            if lookuptable is None:
+                new = qmc.anneal_wolff(
+                    problem, one, jnp.ones(1), PT / P, confs, kc,
+                    rule="local",
+                )
+            else:
+                new = qmc.anneal_sw_bath(
+                    problem, one, jnp.ones(1), PT / P, lookuptable, confs,
+                    kc, per_slice_seeds=True,
+                )
+            if sync:
+                flip_frac.append(
+                    float(jnp.mean((new != confs).astype(jnp.float32)))
+                )
+            confs = new
+        return confs, flip_frac
+
+    float(jnp.sum(run(confs0, key, sync=False)[0]))  # compile + warm (fetch)
+    eps, wall = None, np.inf
+    for t in (7, 8):  # best-of-2 (see baseline_arm)
+        t0 = time.time()
+        out, _ = run(confs0, jax.random.fold_in(key, t), sync=False)
+        e = _eps(problem, e_gs, out)
+        if time.time() - t0 < wall:
+            wall = time.time() - t0
+        if eps is None:
+            eps = e
+    # flip sizes measured outside the timed runs (syncs per segment)
+    _, flip_frac = run(confs0, jax.random.fold_in(key, 7), sync=True)
+    return eps, wall, float(np.mean(flip_frac))
+
+
+def main(outdir="results/cluster_value", taus=(2000, 6000), budget_s=1500):
+    # persistent XLA cache: remote-tunnel compiles are minutes with high
+    # variance and would otherwise pollute the first arm's timing window
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".xla_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001
+        pass
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "summary.json")
+    done = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            done = json.load(f)
+
+    problem, e_gs = instances.santoro_80x80(lattice=True)
+    key = jax.random.key(0)
+    confs0 = _pre_annealed(problem, key)
+    lut = schedules.bath_lookuptable(P, 1e-2)
+    t_start = time.time()
+
+    def record(name, fn):
+        if name in done:
+            print(f"{name}: cached {done[name]}", flush=True)
+            return done[name]
+        if time.time() - t_start > budget_s:
+            print(f"{name}: skipped (budget)", flush=True)
+            return None
+        out = fn()
+        done[name] = out
+        with open(path, "w") as f:
+            json.dump(done, f, indent=2)
+        print(f"{name}: {out}", flush=True)
+        return out
+
+    for tau in taus:
+        kp = jax.random.fold_in(key, tau)
+        b = record(
+            f"baseline_tau{tau}",
+            lambda: dict(zip(("eps", "wall_s"),
+                             baseline_arm(problem, e_gs, tau, kp, confs0))),
+        )
+        m = record(
+            f"mixed_wcl_tau{tau}",
+            lambda: dict(zip(
+                ("eps", "wall_s", "flip_frac"),
+                mixed_arm(problem, e_gs, tau, kp, confs0),
+            )),
+        )
+        if b and m:
+            # equal-wall baseline: scale tau by the measured wall ratio
+            tau_eq = int(tau * m["wall_s"] / max(b["wall_s"], 1e-9))
+            record(
+                f"baseline_equalwall_tau{tau_eq}_for{tau}",
+                lambda: dict(zip(
+                    ("eps", "wall_s"),
+                    baseline_arm(problem, e_gs, tau_eq, kp, confs0),
+                )),
+            )
+
+    # dissipative variant at one tau (the bath engine is ~3x slower per
+    # sweep, and the SW move is cheap now — the most favorable setting
+    # for clusters)
+    tau = taus[0]
+    kp = jax.random.fold_in(key, 90000 + tau)
+    b = record(
+        f"bath_baseline_tau{tau}",
+        lambda: dict(zip(
+            ("eps", "wall_s"),
+            baseline_arm(problem, e_gs, tau, kp, confs0, lookuptable=lut),
+        )),
+    )
+    m = record(
+        f"bath_mixed_sw_tau{tau}",
+        lambda: dict(zip(
+            ("eps", "wall_s", "flip_frac"),
+            mixed_arm(problem, e_gs, tau, kp, confs0, lookuptable=lut),
+        )),
+    )
+    if b and m:
+        tau_eq = int(tau * m["wall_s"] / max(b["wall_s"], 1e-9))
+        record(
+            f"bath_baseline_equalwall_tau{tau_eq}_for{tau}",
+            lambda: dict(zip(
+                ("eps", "wall_s"),
+                baseline_arm(problem, e_gs, tau_eq, kp, confs0,
+                             lookuptable=lut),
+            )),
+        )
+
+    print(json.dumps(done, indent=2))
+    return done
+
+
+if __name__ == "__main__":
+    main()
