@@ -649,22 +649,11 @@ def main():
 
     # Persistent XLA compilation cache: compiles dominate this benchmark's
     # wall budget (SA+PIQMC arms alone spend ~4 min compiling cold; the
-    # cluster arm ~3 min more), and the remote Mosaic compile service is
-    # erratic (same Pallas kernel 19 s-8 min). Warm entries load in
-    # ~0.2 s (measured through the axon tunnel), so a primed cache lets
-    # every arm fit the 510 s deadline. Keyed by HLO hash — stale entries
-    # are simply misses, so this is always safe to enable.
-    try:
-        cache_dir = os.environ.get(
-            "MCS_BENCH_XLA_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
-        pass
+    # cluster arm ~3 min more). Warm entries load in ~0.2 s, so a primed
+    # cache lets every arm fit the 510 s deadline.
+    from montecarlosolvers_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     # Touch the device BEFORE anything else: remote-tunnel backend init
     # intermittently hangs for minutes (bench/mst.py warmup fix); the
@@ -737,7 +726,10 @@ def main():
         _emit()
 
     _DONE.set()
-    _emit()
+    # final=True marks the line terminal under _LOCK, so a watchdog firing
+    # concurrently cannot append a second, contradictory "partial" line
+    # (ADVICE r3; review r4 — the flag must actually be set here).
+    _emit(final=True)
 
 
 if __name__ == "__main__":

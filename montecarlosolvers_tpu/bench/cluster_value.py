@@ -105,7 +105,11 @@ def mixed_arm(problem, e_gs, tau, key, confs0, n_cl=10, lookuptable=None):
     def run(confs, key, sync):
         flip_frac = []
         for i in range(n_cl):
-            a = jnp.asarray(a_np[i * seg:(i + 1) * seg])
+            # the LAST segment takes the remainder too — a floor-division
+            # slice would silently drop the final (lowest-Gamma) steps for
+            # tau % n_cl != 0, biasing the comparison (review r4)
+            hi = (i + 1) * seg if i < n_cl - 1 else len(a_np)
+            a = jnp.asarray(a_np[i * seg:hi])
             confs = qmc.anneal(
                 problem, a, jnp.ones_like(a), PT / P, confs,
                 jax.random.fold_in(key, i), **kw
@@ -148,14 +152,9 @@ def mixed_arm(problem, e_gs, tau, key, confs0, n_cl=10, lookuptable=None):
 def main(outdir="results/cluster_value", taus=(2000, 6000), budget_s=1500):
     # persistent XLA cache: remote-tunnel compiles are minutes with high
     # variance and would otherwise pollute the first arm's timing window
-    try:
-        cache = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".xla_cache")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:  # noqa: BLE001
-        pass
+    from montecarlosolvers_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, "summary.json")
     done = {}

@@ -49,24 +49,39 @@ def sa_arm(problem, tau, reps, key, pre_temp=3.0, deadline=None):
     """One SA point: `reps` chains annealed T: pre_temp -> 0 over tau steps
     (examples/santoro80.py:258-262). Returns per-chain energies.
 
-    Dispatch-length safety lives in the solver now (sa.anneal's `segment`,
-    VERDICT r3 #9) — the whole tau=6e6 schedule is ONE call. With
-    `deadline` (absolute time.time()), BudgetExceeded is raised before a
-    point whose projected cost — at a conservative device-rate floor —
-    would overrun it (SA points have no mid-point checkpoint, so the check
-    is per point; the floor overestimates cost, aborting early rather
-    than late)."""
-    if deadline is not None:
-        projected = reps * problem.nspins * int(tau) / 1.5e10
-        if time.time() + projected > deadline:
-            raise BudgetExceeded(f"SA tau={tau} (projected {projected:.0f}s)")
+    Dispatch-length safety lives in the solver (sa.anneal's `segment`,
+    VERDICT r3 #9): without a `deadline` the whole tau=6e6 schedule is
+    ONE call. With `deadline` (absolute time.time()) the call is issued
+    per SEGMENT-sized window purely as a BUDGET CHECKPOINT — the window
+    keys fold exactly as the solver's internal segmentation does
+    (fold_in at the absolute segment start; unfolded when single), so
+    the trajectory is bitwise the single-call one, and BudgetExceeded
+    fires between windows at the last window's measured cost (a
+    projection-only check would let a degraded-throughput point overrun
+    unboundedly — review r4)."""
     k1, k2 = jax.random.split(key)
     s0 = sa.random_state(k1, problem.nspins, batch=(reps,))
     sched = np.linspace(pre_temp, 0.0, int(tau), dtype=np.float32)
     # pad to a compile bucket: NaN steps are exact no-ops (VERDICT r3 #8),
     # so a 14-tau matrix compiles <=3 SA program shapes instead of 14
-    sched = schedules.pad_schedule(sched, sa.SEGMENT)
-    out = sa.anneal(problem, sched, s0, k2)
+    sched = np.asarray(schedules.pad_schedule(sched, sa.SEGMENT))
+    if deadline is None:
+        # segment passed explicitly so both paths read sa.SEGMENT at call
+        # time (the solver default binds it at def time)
+        out = sa.anneal(problem, jnp.asarray(sched), s0, k2,
+                        segment=sa.SEGMENT)
+        return np.asarray(problem.energy(out))
+    segs = schedules.segments(len(sched), sa.SEGMENT)
+    out = s0
+    win_cost = 0.0
+    for lo, hi in segs:
+        if time.time() + win_cost > deadline:
+            raise BudgetExceeded(f"SA tau={tau} at step {lo}")
+        t_win = time.time()
+        k = k2 if len(segs) == 1 else jax.random.fold_in(k2, lo)
+        out = sa.anneal(problem, jnp.asarray(sched[lo:hi]), out, k)
+        float(jnp.sum(out[..., 0]))  # sync for an honest window cost
+        win_cost = time.time() - t_win
     return np.asarray(problem.energy(out))
 
 
