@@ -436,3 +436,197 @@ def anneal_sharded_split(problem, a_sched, b_sched, temp, confs, key, mesh,
 
     state, _ = jax.lax.scan(body, state, (a, b, keys))
     return split_ops.unpack_qmc(sl, *(q.astype(in_dtype) for q in state))
+
+
+# --------------------------------------------------------------------------
+# Trotter-sharded Wolff clusters (distributed frontier BFS)
+# --------------------------------------------------------------------------
+
+
+def _wolff_sharded_update(problem, confs_l, key, temp, gamma, b, axis, rule,
+                          lookuptable):
+    """One Wolff cluster update on a Trotter-sharded (P_local, N) block —
+    the distributed form of ops/cluster.wolff_update (same bond rules,
+    same key-split structure).
+
+    Bond draws are REPLICATED: every shard draws the full-shape uniforms
+    with the shared key and slices its own rows, so the update is BITWISE
+    identical to the single-device engine on fieldless problems (with
+    fields, the accept's psum'd field sum may differ from the single-device
+    reduction in the last ULP). The draw cost is ndev-times redundant but
+    negligible next to the BFS, whose per-iteration halo — one boundary
+    row `ppermute` per temporal direction, plus an `all_gather` of the
+    frontier when bath bonds are present — is the actual distributed cost.
+    The `while_loop` still stops at the seed component's eccentricity: the
+    continue flag is a psum'd any-frontier bit, so all shards step in
+    lockstep and exit together (closes the ARCHITECTURE §8 "Trotter-sharded
+    Wolff clusters" gap; reference stack growth: qmc.pyx:711-786).
+    """
+    from montecarlosolvers_tpu.ops.cluster import (
+        _bond_prob,
+        _mirror_upper,
+        _symmetrize_spatial,
+    )
+
+    ndev = lax.axis_size(axis)
+    p_local, nspins = confs_l.shape
+    slices = p_local * ndev
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    me = lax.axis_index(axis)
+
+    k_seed_key, k_sp, k_t, k_site, k_bath, k_acc = jax.random.split(key, 6)
+    seed_spin = jax.random.randint(k_seed_key, (), 0, nspins)
+    seed_slice = jax.random.randint(k_site, (), 0, slices)
+    row = seed_slice - me * p_local
+    in_block = (row >= 0) & (row < p_local)
+    row_c = jnp.clip(row, 0, p_local - 1)
+
+    s = confs_l.astype(jnp.float32)
+    pad = problem.nbr_idx == jnp.arange(nspins)[:, None]
+    s_nb = jnp.take(s, problem.nbr_idx, axis=1)  # (P_local, N, maxnb)
+
+    def my_rows(u, ax):
+        return lax.dynamic_slice_in_dim(u, me * p_local, p_local, axis=ax)
+
+    if rule == "local":
+        de_sp = 2.0 * b * problem.nbr_J[None] * s[:, :, None] * s_nb
+        de_t = -2.0 * jp * s * _ring_dn(s, axis)
+        lower = jnp.arange(nspins)[:, None] < problem.nbr_idx
+        gate_sp = lower[None, :, :]
+        gate_t = True
+        same = same_full = None
+    else:
+        kval = lax.psum(
+            jnp.where(in_block, confs_l[row_c, seed_spin], 0), axis
+        )
+        same = confs_l == kval
+        field = problem.local_fields(s)
+        up = _ring_up(s, axis)
+        dn = _ring_dn(s, axis)
+        de_site = -2.0 * b * kval * field + 2.0 * jp * kval * (up + dn)
+        de_sp = jnp.take(de_site, problem.nbr_idx, axis=1)
+        de_t = _ring_dn(de_site, axis)
+        nb_same = jnp.take(same, problem.nbr_idx, axis=1)
+        gate_sp = same[:, :, None] & nb_same & (~pad)[None, :, :]
+        gate_t = same & _ring_dn(same, axis)
+
+    u_sp = my_rows(jax.random.uniform(k_sp, (slices, nspins, problem.maxnb)), 0)
+    u_t = my_rows(jax.random.uniform(k_t, (slices, nspins)), 0)
+    active_sp = gate_sp & (u_sp < _bond_prob(de_sp, teff))
+    active_up = gate_t & (u_t < _bond_prob(de_t, teff))
+
+    active_bath = None
+    if lookuptable is not None:
+        lut = jnp.asarray(lookuptable)
+        s_full = lax.all_gather(s, axis, axis=0, tiled=True)  # (P, N)
+        st_full = s_full.T  # (N, P)
+        gidx = me * p_local + jnp.arange(p_local)
+        off = (jnp.arange(slices)[None, :] - gidx[:, None]) % slices
+        de_b = (
+            -2.0 * teff * lut[jnp.maximum(off - 1, 0)][None]
+            * s.T[:, :, None] * st_full[:, None, :]
+        )  # (N, P_local, P)
+        p_b = jnp.where(off[None] > 0, _bond_prob(de_b, teff), 0.0)
+        u_b = _mirror_upper(jax.random.uniform(k_bath, (nspins, slices, slices)))
+        active_bath = my_rows(u_b, 1) < p_b
+        if rule != "local":
+            same_full = lax.all_gather(same, axis, axis=0, tiled=True)
+            active_bath = (
+                active_bath & same.T[:, :, None] & same_full.T[:, None, :]
+            )
+
+    active_full = _symmetrize_spatial(active_sp, problem.nbr_idx)
+    dn_active = _ring_up(active_up, axis)
+
+    seed = jnp.zeros((p_local, nspins), bool)
+    seed = seed.at[row_c, seed_spin].set(in_block)
+
+    def cond(state):
+        _, _, go = state
+        return go
+
+    def body(state):
+        visited, frontier, _ = state
+        nb_f = jnp.take(frontier, problem.nbr_idx, axis=1)
+        reach = jnp.any(nb_f & active_full, axis=-1)
+        reach |= active_up & _ring_dn(frontier, axis)
+        reach |= dn_active & _ring_up(frontier, axis)
+        if active_bath is not None:
+            f_full = lax.all_gather(frontier, axis, axis=0, tiled=True)
+            reach |= jnp.any(active_bath & f_full.T[:, None, :], axis=-1).T
+        new_frontier = reach & ~visited
+        go = lax.psum(jnp.any(new_frontier).astype(jnp.int32), axis) > 0
+        return visited | new_frontier, new_frontier, go
+
+    comp, _, _ = lax.while_loop(cond, body, (seed, seed, jnp.asarray(True)))
+
+    if rule == "local":
+        de_h = -2.0 * b * lax.psum(
+            jnp.sum(problem.h[None, :] * s, axis=(0, 1), where=comp), axis
+        )
+        accept = metropolis_accept(de_h, teff, jax.random.uniform(k_acc, ()))
+        flip = comp & accept
+    else:
+        flip = comp & same
+    return jnp.where(flip, -confs_l, confs_l)
+
+
+def anneal_wolff_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
+                         mcsteps=1, rule="local", lookuptable=None):
+    """PIQMC anneal with Wolff cluster updates, the Trotter axis sharded
+    over mesh axis "replica" (one cluster per MC step, matching
+    solvers.qmc.anneal_wolff / qmc.pyx:693-697).
+
+    confs: (P, N) unbatched, P divisible by the replica axis size. The
+    cluster engine walks explicit neighbor tables, so LatticeProblems are
+    converted to the padded-gather representation (eagerly, before the
+    jit boundary — the conversion inspects concrete couplings). Bitwise
+    identical to the single-device anneal_wolff on fieldless problems (see
+    _wolff_sharded_update); batch chains by running independent calls or
+    sharding chains with parallel/mesh.py instead — a chains axis inside
+    the distributed BFS would couple every chain to the slowest frontier.
+    """
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_generic()
+    return _anneal_wolff_sharded_jit(
+        problem, a_sched, b_sched, temp, confs, key, mesh,
+        mcsteps=mcsteps, rule=rule, lookuptable=lookuptable,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "mcsteps", "rule"))
+def _anneal_wolff_sharded_jit(problem, a_sched, b_sched, temp, confs, key,
+                              mesh, mcsteps=1, rule="local",
+                              lookuptable=None):
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    replica_size = mesh.shape["replica"]
+    if confs.shape[-2] % replica_size:
+        raise ValueError(
+            f"P = {confs.shape[-2]} must divide by the replica axis size "
+            f"{replica_size}"
+        )
+
+    def run(confs_l, keys, a, b):
+        def body(confs_l, x):
+            gamma, bcur, k = x
+            confs_l = _wolff_sharded_update(
+                problem, confs_l, k, temp, gamma, bcur, "replica", rule,
+                lookuptable,
+            )
+            return confs_l, None
+
+        confs_l, _ = jax.lax.scan(body, confs_l, (a, b, keys))
+        return confs_l
+
+    return shard_map(
+        run,
+        mesh,
+        in_specs=(P("replica", None), P(), P(), P()),
+        out_specs=P("replica", None),
+    )(confs, keys, a, b)

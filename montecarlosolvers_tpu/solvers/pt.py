@@ -252,6 +252,46 @@ def tune_ladder(problem, temps, key, rounds=4, sweeps_per_round=200,
     return jnp.asarray(temps, jnp.float32), np.asarray(pair_rates)
 
 
+def tune_ladder_piqmc(problem, gammas, temp, key, rounds=4,
+                      sweeps_per_round=200, floor=0.02, global_moves=False,
+                      slices=None, confs=None):
+    """Equalize adjacent-rung swap rates of the quantum (Gamma) ladder —
+    the transverse-field analog of `tune_ladder`, using `sample_piqmc`'s
+    per-pair rates as the resistance signal. Rungs are redistributed along
+    the cumulative -log(rate) in log(Gamma) space, endpoints fixed.
+
+    Pass either `confs` ((M, P, N) initial configurations) or `slices`
+    (P; random init). Returns (gammas, pair_rates) from the final round.
+    """
+    gammas = np.asarray(gammas, dtype=np.float64)
+    asc = gammas[0] < gammas[-1]
+    if not asc:
+        gammas = gammas[::-1]
+    M = gammas.shape[0]
+    if confs is None:
+        if slices is None:
+            raise ValueError("pass confs or slices")
+        k_init, key = jax.random.split(key)
+        confs = jnp.where(
+            jax.random.bernoulli(k_init, 0.5, (M, slices, problem.nspins)),
+            1.0, -1.0,
+        )
+    pair_rates = None
+    for _ in range(rounds):
+        key, kr = jax.random.split(key)
+        confs, _, pair_rates = sample_piqmc(
+            problem, jnp.asarray(gammas, jnp.float32), temp, confs, kr,
+            sweeps_per_round, global_moves=global_moves, per_pair_rates=True,
+        )
+        r = np.clip(np.asarray(pair_rates), floor, 1.0 - floor)
+        c = np.concatenate([[0.0], np.cumsum(-np.log(r))])
+        targets = np.linspace(0.0, c[-1], M)
+        gammas = np.exp(np.interp(targets, c, np.log(gammas)))
+    if not asc:
+        gammas = gammas[::-1]
+    return jnp.asarray(gammas, jnp.float32), np.asarray(pair_rates)
+
+
 def geometric_ladder(t_min, t_max, num):
     """Geometric temperature ladder — the standard PT spacing.
 

@@ -83,3 +83,50 @@ class TestQubo:
         out = sa.anneal(prob, schedules.linear(3.0, 0.0, 300), s0, key)
         es = np.asarray(prob.energy(out)) + offset
         assert np.isclose(es.min(), best, atol=1e-3), (es.min(), best)
+
+
+class TestMultiHost:
+    """DCN-axis disorder sweeps (parallel/multihost.py). Multi-process DCN
+    cannot run here; the single-process hybrid-mesh fallback exercises the
+    identical sharding layout on the virtual 8-device mesh, with the same
+    bitwise-transparency bar as chain sharding."""
+
+    @pytest.fixture(scope="class")
+    def eight_devices(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return jax.devices()[:8]
+
+    def test_dcn_mesh_shape(self, eight_devices):
+        from montecarlosolvers_tpu.parallel import multihost
+
+        mesh = multihost.dcn_mesh(disorder=2, chains=4)
+        assert mesh.shape == {"disorder": 2, "chains": 4}
+        mesh = multihost.dcn_mesh(chains=4)
+        assert mesh.shape == {"disorder": 2, "chains": 4}
+
+    def test_disorder_sharded_bitwise_matches_vmap(self, rng, eight_devices):
+        from montecarlosolvers_tpu.parallel import multihost
+
+        probs = _realizations(rng, n=2)
+        key = jax.random.key(3)
+        keys = jax.random.split(key, len(probs))
+        states = sa.random_state(key, 16, batch=(len(probs), 8))
+        sched = schedules.linear(2.0, 0.1, 40)
+
+        stacked, axes = disorder.stack_problems(probs)
+        ref = disorder.vmap_disorder(sa.anneal, axes)(
+            stacked, sched, states, keys
+        )
+
+        mesh = multihost.dcn_mesh(disorder=2, chains=4)
+        out = multihost.run_disorder_sharded(
+            sa.anneal, probs, sched, states, keys, mesh
+        )
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_initialize_single_process(self, eight_devices):
+        from montecarlosolvers_tpu.parallel import multihost
+
+        pid, nproc = multihost.initialize()
+        assert pid == 0 and nproc == 1

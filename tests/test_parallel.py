@@ -385,3 +385,60 @@ class TestTrotterShardingSplit:
         assert abs(e_sh.mean() - e_ref.mean()) < 4.0 * se, (
             e_sh.mean(), e_ref.mean(), se
         )
+
+
+class TestTrotterShardedWolff:
+    """Trotter-sharded Wolff clusters (parallel/trotter.anneal_wolff_sharded):
+    the distributed frontier BFS with replicated bond draws must be BITWISE
+    identical to the single-device cluster engine on fieldless problems —
+    the strongest possible bar for a collective-communication rewrite."""
+
+    def _setup(self, rng, slices):
+        prob, _ = instances.random_2d_lattice(4, rng=rng)
+        key = jax.random.key(7)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        a = schedules.transverse_field(2.5, 1e-8, 20)
+        return prob, confs, a, jnp.ones_like(a), key
+
+    def test_local_rule_bitwise_matches_single_device(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8)
+        mesh = make_mesh(replica=4)
+        ref = np.asarray(
+            qmc.anneal_wolff(prob, a, b, 1.0 / 8, confs, key, rule="local")
+        )
+        out = np.asarray(trotter.anneal_wolff_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh, rule="local"
+        ))
+        assert np.array_equal(ref, out)
+
+    def test_full_rule_bitwise_matches_single_device(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8)
+        mesh = make_mesh(replica=8)
+        ref = np.asarray(
+            qmc.anneal_wolff(prob, a, b, 1.0 / 8, confs, key, rule="full")
+        )
+        out = np.asarray(trotter.anneal_wolff_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh, rule="full"
+        ))
+        assert np.array_equal(ref, out)
+
+    def test_bath_bonds_bitwise_matches_single_device(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8)
+        lut = schedules.bath_lookuptable(8, 0.2)
+        mesh = make_mesh(replica=4)
+        ref = np.asarray(qmc.anneal_wolff(
+            prob, a, b, 1.0 / 8, confs, key, rule="local", lookuptable=lut
+        ))
+        out = np.asarray(trotter.anneal_wolff_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh, rule="local",
+            lookuptable=lut,
+        ))
+        assert np.array_equal(ref, out)
+
+    def test_rejects_indivisible_p(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=6)
+        mesh = make_mesh(replica=4)
+        with pytest.raises(ValueError, match="divide"):
+            trotter.anneal_wolff_sharded(
+                prob, a, b, 1.0 / 6, confs, key, mesh
+            )

@@ -136,3 +136,23 @@ class TestQuantumPT:
         # tuning must tighten the spread of per-pair acceptance
         assert pr.std() < pr0.std(), (pr0, pr)
         assert pr.min() > pr0.min() - 0.02
+
+    def test_tune_ladder_piqmc_equalizes_pair_rates(self, rng):
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        g0 = pt.geometric_ladder(0.2, 4.0, 8)
+        key = jax.random.key(9)
+        slices = 4
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (8, slices, prob.nspins)),
+            1.0, -1.0,
+        )
+        _, _, pr0 = pt.sample_piqmc(prob, g0, 0.5, confs0, key, 400,
+                                    per_pair_rates=True)
+        gammas, pr = pt.tune_ladder_piqmc(prob, g0, 0.5, key, rounds=4,
+                                          sweeps_per_round=400,
+                                          slices=slices)
+        pr0, pr = np.asarray(pr0), np.asarray(pr)
+        assert np.isclose(float(gammas[0]), float(g0[0]), rtol=1e-5)
+        assert np.isclose(float(gammas[-1]), float(g0[-1]), rtol=1e-5)
+        assert np.all(np.diff(np.asarray(gammas)) > 0)
+        assert pr.std() <= pr0.std() + 0.02, (pr0, pr)
