@@ -22,6 +22,13 @@ the N sequential micro-steps amortize over chains, so rates climb from
 1.0e9 att/s at (N=1024, C=1024) to 2.1e9 at C=4096; at N=8192, C=1024 the
 engine sustains 9.1e8 att/s = 7.5e12 effective coupling-MACs/s. B=128
 (one MXU tile) beats larger blocks; every attempt touches all N couplings.
+
+Two options extend the engine:
+  * shuffle=True — random-scan order (a fresh permutation per sweep),
+    realized by permuting J/h/s up front so the matmul structure is kept;
+  * matmul_dtype=jnp.bfloat16 — halves the MXU cost per field matmul;
+    the sweep is then exact sequential Metropolis on the bf16-rounded
+    problem (bitwise f32-identical when couplings are +/-1-valued).
 """
 
 from __future__ import annotations
@@ -35,10 +42,25 @@ from jax import lax
 from montecarlosolvers_tpu.ops.metropolis import metropolis_accept
 
 
-def dense_metropolis_sweep(dp, s, key, temp, block=128):
-    """One systematic-scan sequential Metropolis sweep.
+def dense_metropolis_sweep(dp, s, key, temp, block=128, shuffle=False,
+                           matmul_dtype=None):
+    """One sequential Metropolis sweep (systematic or shuffled scan).
 
     dp: DenseProblem; s: (C, N) float32 +/-1; returns updated (C, N).
+
+    shuffle: visit spins in a fresh uniform-random permutation each sweep
+      (random-scan Metropolis) instead of systematic 0..N-1 order. The
+      permutation is applied to J/h/s once up front (an O(N^2) gather,
+      ~1/C of the sweep's matmul MACs) so the blocked-matmul structure is
+      untouched; the update sequence is exactly sequential Metropolis in
+      permuted order.
+
+    matmul_dtype: storage/compute dtype for the J matmul and the in-block
+      rank-1 delayed updates (e.g. jnp.bfloat16 for 2x MXU throughput);
+      accumulation stays float32 via preferred_element_type. The sweep is
+      then EXACT sequential Metropolis on the dtype-rounded problem
+      (J.astype(matmul_dtype)); for +/-1-valued couplings the rounding is
+      lossless and trajectories are bitwise identical to float32.
     """
     C, N = s.shape
     B = min(block, N)
@@ -48,24 +70,35 @@ def dense_metropolis_sweep(dp, s, key, temp, block=128):
     # fields, so their (always-accepted, de=0) flips are inert
     J = dp.J
     h = dp.h
+    if shuffle:
+        kperm, key = jax.random.split(key)
+        perm = jax.random.permutation(kperm, N)
+        J = J[perm][:, perm]
+        h = h[perm]
+        s = s[:, perm]
+    if matmul_dtype is not None:
+        J = J.astype(matmul_dtype)
     if pad:
         J = jnp.pad(J, ((0, pad), (0, pad)))
         h = jnp.pad(h, (0, pad))
         s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=1.0)
     Np = N + pad
     u = jax.random.uniform(key, (C, Np))
+    sm = s.astype(J.dtype) if matmul_dtype is not None else s
 
-    def block_body(bi, s):
+    def block_body(bi, carry):
+        s, sm = carry
         start = bi * B
         Jb = lax.dynamic_slice(J, (0, start), (Np, B))   # (Np, B)
         fb = (
-            jnp.dot(s, Jb, preferred_element_type=jnp.float32)
+            jnp.dot(sm if matmul_dtype is not None else s, Jb,
+                    preferred_element_type=jnp.float32)
             + lax.dynamic_slice(h, (start,), (B,))
         )  # (C, B)
         ub = lax.dynamic_slice(u, (0, start), (C, B))
 
         def inner(j, carry):
-            s, fb = carry
+            s, sm, fb = carry
             i = start + j
             si = lax.dynamic_slice(s, (0, i), (C, 1))[:, 0]
             fi = fb[:, j]
@@ -73,24 +106,37 @@ def dense_metropolis_sweep(dp, s, key, temp, block=128):
             accept = metropolis_accept(de, temp, ub[:, j])
             s_new = jnp.where(accept, -si, si)
             s = lax.dynamic_update_slice(s, s_new[:, None], (0, i))
+            if matmul_dtype is not None:
+                sm = lax.dynamic_update_slice(
+                    sm, s_new.astype(sm.dtype)[:, None], (0, i))
             # delayed update of remaining in-block fields: row i of Jb
-            jrow = lax.dynamic_slice(Jb, (i, 0), (1, B))[0]  # (B,)
+            # (upcast so the rank-1 correction uses the same rounded
+            # couplings the matmul saw)
+            jrow = lax.dynamic_slice(Jb, (i, 0), (1, B))[0].astype(
+                jnp.float32)  # (B,)
             fb = fb + (s_new - si)[:, None] * jrow[None, :]
-            return s, fb
+            return s, sm, fb
 
-        s, _ = lax.fori_loop(0, B, inner, (s, fb))
-        return s
+        s, sm, _ = lax.fori_loop(0, B, inner, (s, sm, fb))
+        return s, sm
 
-    s = lax.fori_loop(0, nblocks, block_body, s)
-    return s[:, :N] if pad else s
+    s, _ = lax.fori_loop(0, nblocks, block_body, (s, sm))
+    if pad:
+        s = s[:, :N]
+    if shuffle:
+        # undo the visit-order permutation: out[:, perm[i]] = s[:, i]
+        s = jnp.zeros_like(s).at[:, perm].set(s)
+    return s
 
 
-@partial(jax.jit, static_argnames=("mcsteps", "block", "collect_energy"))
+@partial(jax.jit, static_argnames=("mcsteps", "block", "collect_energy",
+                                   "shuffle", "matmul_dtype"))
 def dense_anneal(dp, sched, s, key, mcsteps=1, block=128,
-                 collect_energy=False):
-    """Thermal anneal on a DenseProblem (systematic-scan sweeps).
+                 collect_energy=False, shuffle=False, matmul_dtype=None):
+    """Thermal anneal on a DenseProblem (sequential-scan sweeps).
 
     s: (C, N) or (N,); returns same shape (+ optional per-sweep energies).
+    shuffle / matmul_dtype: see dense_metropolis_sweep.
     """
     from montecarlosolvers_tpu import schedules as sched_mod
 
@@ -103,7 +149,8 @@ def dense_anneal(dp, sched, s, key, mcsteps=1, block=128,
 
     def body(s, x):
         t, k = x
-        s = dense_metropolis_sweep(dp, s, k, t, block=block)
+        s = dense_metropolis_sweep(dp, s, k, t, block=block, shuffle=shuffle,
+                                   matmul_dtype=matmul_dtype)
         return s, (dp.energy(s) if collect_energy else None)
 
     s, es = lax.scan(body, s, (temps, keys))

@@ -112,6 +112,139 @@ class TestSweep:
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestShuffledScan:
+    def test_gibbs_distribution_shuffled(self, rng):
+        """Random-scan (shuffled) sweep must also sample the exact
+        Boltzmann distribution."""
+        J = np.array([
+            [0.3, 1.0, 0.5],
+            [0.0, -0.2, -0.7],
+            [0.0, 0.0, 0.4],
+        ])
+        dp = DenseProblem.from_couplings(J)
+        temp = 1.5
+        states = (((np.arange(8)[:, None] >> np.arange(3)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        es = np.asarray(dp.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 1500, 100
+        key = jax.random.key(3)
+        s0 = sa.random_state(key, 3, batch=(chains,))
+
+        @jax.jit
+        def run(s, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(s, k):
+                s = dense_metropolis_sweep(dp, s, k, temp, block=2,
+                                           shuffle=True)
+                bits = (s > 0).astype(jnp.int32)
+                idx = bits[:, 0] + 2 * bits[:, 1] + 4 * bits[:, 2]
+                return s, idx
+
+            _, idxs = jax.lax.scan(body, s, keys)
+            return idxs
+
+        idxs = np.asarray(run(s0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=8)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
+
+    def test_shuffle_changes_order_not_set(self, rng):
+        """At T=0 from a fixed start, shuffled and systematic scans reach
+        (possibly different) local minima; both stay +/-1-valued, and the
+        shuffled result is deterministic in the key."""
+        dp = _dense_sk(10, rng)
+        key = jax.random.key(4)
+        s0 = sa.random_state(key, 10, batch=(4,))
+        a = dense_metropolis_sweep(dp, s0, key, 0.5, block=4, shuffle=True)
+        b = dense_metropolis_sweep(dp, s0, key, 0.5, block=4, shuffle=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert set(np.unique(np.asarray(a))) <= {-1.0, 1.0}
+        assert a.shape == s0.shape
+
+    def test_shuffle_block_boundaries(self, rng):
+        dp = _dense_sk(10, rng)
+        key = jax.random.key(5)
+        s0 = sa.random_state(key, 10, batch=(4,))
+        for block in (3, 10, 128):
+            out = dense_metropolis_sweep(dp, s0, key, 1.0, block=block,
+                                         shuffle=True)
+            assert out.shape == (4, 10)
+            assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
+class TestBf16Matmul:
+    def test_pm1_couplings_bitwise_f32(self, rng):
+        """+/-1-valued couplings are exact in bfloat16, so bf16-matmul
+        trajectories must be bitwise identical to float32."""
+        n = 24
+        J = np.triu(rng.choice([-1.0, 1.0], size=(n, n)), k=1)
+        dp = DenseProblem.from_couplings(J)
+        key = jax.random.key(6)
+        s0 = sa.random_state(key, n, batch=(8,))
+        sched = schedules.linear(3.0, 0.2, 60)
+        a = dense_anneal(dp, sched, s0, key, block=8)
+        b = dense_anneal(dp, sched, s0, key, block=8,
+                         matmul_dtype=jnp.bfloat16)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gibbs_on_rounded_problem(self, rng):
+        """bf16 matmuls sample the EXACT Gibbs distribution of the
+        bf16-rounded problem (not an approximation of the f32 one)."""
+        J = np.array([
+            [0.3, 1.0, 0.5],
+            [0.0, -0.2, -0.7],
+            [0.0, 0.0, 0.4],
+        ])
+        dp = DenseProblem.from_couplings(J)
+        # reference probabilities come from the rounded couplings (h is
+        # added in f32 and unrounded)
+        Jr = np.asarray(dp.J.astype(jnp.bfloat16).astype(jnp.float32))
+        dpr = DenseProblem(J=jnp.asarray(Jr), h=dp.h, nspins=3)
+        temp = 1.5
+        states = (((np.arange(8)[:, None] >> np.arange(3)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        es = np.asarray(dpr.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsweeps, burn = 64, 1500, 100
+        key = jax.random.key(7)
+        s0 = sa.random_state(key, 3, batch=(chains,))
+
+        @jax.jit
+        def run(s, key):
+            keys = jax.random.split(key, nsweeps)
+
+            def body(s, k):
+                s = dense_metropolis_sweep(dp, s, k, temp, block=2,
+                                           matmul_dtype=jnp.bfloat16)
+                bits = (s > 0).astype(jnp.int32)
+                idx = bits[:, 0] + 2 * bits[:, 1] + 4 * bits[:, 2]
+                return s, idx
+
+            _, idxs = jax.lax.scan(body, s, keys)
+            return idxs
+
+        idxs = np.asarray(run(s0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=8)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
+
+    def test_bf16_shuffled_combo(self, rng):
+        dp = _dense_sk(9, rng)
+        key = jax.random.key(8)
+        s0 = sa.random_state(key, 9, batch=(4,))
+        out = dense_anneal(dp, schedules.linear(2.0, 0.1, 30), s0, key,
+                           block=4, shuffle=True,
+                           matmul_dtype=jnp.bfloat16)
+        assert out.shape == (4, 9)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+
+
 class TestAnneal:
     def test_finds_ground_state(self, rng):
         dp = _dense_sk(12, rng)
