@@ -478,3 +478,195 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
 
         confs, _ = jax.lax.fori_loop(0, colors, phase, (confs, key))
     return confs
+
+
+# --------------------------------------------------------------------------
+# Classical Swendsen-Wang (beyond reference: qmc.pyx clusters are PIQMC-only)
+# --------------------------------------------------------------------------
+
+def _label_components(active_full, nbr_idx, init=None):
+    """Connected-component labels of the active spatial bond graph.
+
+    Pure min-label relaxation: each round pulls the minimum neighbor
+    label across active bonds until the fixed point (each component's
+    minimum index), one round per hop of the largest component's
+    eccentricity — the same cost model as the Wolff frontier BFS, but
+    labeling EVERY component in the one pass.
+
+    Deliberately no pointer jumping: `labels[labels]` is a 1-D dynamic
+    gather, which the TPU scatter/gather unit serializes — measured
+    ~0.2-1.5 ms per jump at N=1024-4096 versus ~30 us for a whole relax
+    round over the static-shape neighbor-table gather (v5e; adding two
+    jumps per round made the sweep 11x SLOWER despite halving the round
+    count). Relaxation keeps all work in wide vector gathers.
+
+    active_full: (N, maxnb) bool, symmetrized; returns (N,) int32.
+    init: optional (N,) int32 starting labels (default arange). Seeding
+      sites with -1 marks them (and, after relaxation, their whole
+      component) frozen — the ghost-spin field construction rides the
+      same relax loop instead of a separate scatter-by-label.
+    """
+    nspins = nbr_idx.shape[0]
+    if init is None:
+        init = jnp.arange(nspins, dtype=jnp.int32)
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        nb_lab = jnp.where(active_full, labels[nbr_idx], nspins)
+        new = jnp.minimum(labels, jnp.min(nb_lab, axis=-1))
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels
+
+
+def classical_sw_sweep(problem, s, key, temp):
+    """One classical Swendsen-Wang sweep: FK bond draw on satisfied pairs,
+    component labeling, every cluster flipped with probability 1/2.
+
+    Fields use the ghost-spin construction: a satisfied field term
+    (h_i s_i < 0) bonds site i to a fixed ghost spin with
+    p = 1 - exp(2 h_i s_i / T). All ghost-attached components form one
+    cluster with the ghost; in the gauge s_ghost = +1 that cluster never
+    flips, and every free cluster flips with an independent fair coin —
+    exact Gibbs sampling of H = sum J s s + sum h s (histogram-tested).
+
+    s: (N,) float +/-1 (vmap over leading axes for chains).
+    Cost (generic path): one (N, maxnb) bond draw + one min-label relax
+    round per hop of the largest component's eccentricity — about the
+    price of ONE Wolff cluster's frontier BFS, but every cluster in the
+    lattice updates (measured v5e, 16 chains, critical FM: 1.8 ms/sweep
+    at L=32 and 11.5 ms at L=64 — versus 1.2 / 10.5 ms for a single
+    Wolff cluster on the same lattices). LatticeProblems route to
+    classical_sw_sweep_lattice (segmented row/column min-scans) when
+    passed here directly — measured SLOWER than relax-on-neighbor-tables
+    at L=32..128, so solvers/sa.anneal_sw converts lattices to the
+    generic form instead (see that docstring).
+    """
+    if hasattr(problem, "j_right"):
+        return classical_sw_sweep_lattice(problem, s, key, temp)
+    nspins = problem.nspins
+    k_sp, k_h, k_coin = jax.random.split(key, 3)
+
+    s_nb = jnp.take(s, problem.nbr_idx, axis=0)  # (N, maxnb)
+    de_sp = 2.0 * problem.nbr_J * s[:, None] * s_nb
+    lower = jnp.arange(nspins)[:, None] < problem.nbr_idx  # one draw/pair
+    u_sp = jax.random.uniform(k_sp, de_sp.shape)
+    active_sp = lower & (u_sp < _bond_prob(de_sp, temp))
+    active_full = _symmetrize_spatial(
+        active_sp[None], problem.nbr_idx)[0]  # (N, maxnb)
+
+    # ghost bonds: satisfied field terms freeze their whole component.
+    # Seeding ghosted sites with label -1 lets the min-relax itself carry
+    # the freeze to every member (no scatter-by-label needed — 1-D
+    # dynamic scatters serialize on the TPU gather unit).
+    de_h = 2.0 * problem.h * s
+    u_h = jax.random.uniform(k_h, (nspins,))
+    ghosted = u_h < _bond_prob(de_h, temp)
+    init = jnp.where(ghosted, -1, jnp.arange(nspins, dtype=jnp.int32))
+    labels = _label_components(active_full, problem.nbr_idx, init)
+
+    coins = jax.random.bernoulli(k_coin, 0.5, (nspins,))
+    flip = (labels >= 0) & coins[jnp.maximum(labels, 0)]
+    return jnp.where(flip, -s, s)
+
+
+def _seg_min_scan(vals, link_prev, axis):
+    """Per-site min over its maximal connected run along `axis`
+    (circular). link_prev[..., c] True means site c is connected to site
+    (c - 1) mod n. Runs are segmented log-depth `associative_scan`s, so
+    one pass propagates labels across a whole row — the lattice
+    fast path's answer to the generic relax loop's one-hop-per-round.
+    """
+    from jax import lax
+
+    n = vals.shape[axis]
+
+    def op(a, b):
+        va, ga = a
+        vb, gb = b
+        return jnp.where(gb, jnp.minimum(va, vb), vb), ga & gb
+
+    # circular: double the axis so every run shorter than the full ring
+    # is contiguous in some window; a full ring still reaches every site
+    v2 = jnp.concatenate([vals, vals], axis=axis)
+    g2 = jnp.concatenate([link_prev, link_prev], axis=axis)
+    fwd = lax.associative_scan(op, (v2, g2), axis=axis)[0]
+    fwd = lax.slice_in_dim(fwd, n, 2 * n, axis=axis)
+    # backward pass (run suffix): reverse, where "previous" = next site
+    link_next = jnp.roll(link_prev, -1, axis=axis)
+    vr = jnp.flip(vals, axis=axis)
+    gr = jnp.flip(link_next, axis=axis)
+    v2 = jnp.concatenate([vr, vr], axis=axis)
+    g2 = jnp.concatenate([gr, gr], axis=axis)
+    bwd = lax.associative_scan(op, (v2, g2), axis=axis)[0]
+    bwd = jnp.flip(lax.slice_in_dim(bwd, n, 2 * n, axis=axis), axis=axis)
+    return jnp.minimum(fwd, bwd)
+
+
+def _label_components_lattice(link_left, link_up, init):
+    """Component labels on an L x L (optionally periodic) lattice bond
+    graph via alternating row/column segmented min-scans.
+
+    Each round propagates the running minimum across ENTIRE connected
+    row / column runs (log-depth scans), so round COUNT scales with the
+    cluster's turning number instead of its hop diameter. Measured on
+    v5e, however, the per-round constant of XLA's associative_scan
+    lowering (doubled axes, flips, O(log n) slice/concat stages, x4
+    scans per round) outweighs the round savings at every size tried:
+    5.3 / 29.7 ms per sweep at L=32 / 64 critical FM versus 1.3 / 11.3
+    for the one-hop relax on neighbor tables. Kept as the opt-in
+    labeler it is (exact; union-find-oracle tested) and as the measured
+    record of why the generic relax is the default. Fixed point =
+    per-component min of `init` (frozen -1 seeds propagate like any
+    other minimum).
+    """
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        new = _seg_min_scan(labels, link_left, axis=-1)
+        new = _seg_min_scan(new, link_up, axis=-2)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels
+
+
+def classical_sw_sweep_lattice(problem, s, key, temp):
+    """classical_sw_sweep specialized to LatticeProblem coupling planes:
+    the FK draw lives on the j_right / j_down planes (each bond stored
+    once — no symmetrization pass) and components are labeled with
+    segmented row/column min-scans (_label_components_lattice).
+
+    s: (L*L,) float +/-1 flat spins; same contract as classical_sw_sweep.
+    """
+    L = problem.L
+    k_sp, k_h, k_coin = jax.random.split(key, 3)
+    sp = s.reshape(L, L).astype(jnp.float32)
+
+    de_r = 2.0 * problem.j_right * sp * jnp.roll(sp, -1, axis=-1)
+    de_d = 2.0 * problem.j_down * sp * jnp.roll(sp, -1, axis=-2)
+    u = jax.random.uniform(k_sp, (2, L, L))
+    active_right = u[0] < _bond_prob(de_r, temp)  # (r,c) <-> (r,c+1)
+    active_down = u[1] < _bond_prob(de_d, temp)   # (r,c) <-> (r+1,c)
+    link_left = jnp.roll(active_right, 1, axis=-1)
+    link_up = jnp.roll(active_down, 1, axis=-2)
+
+    de_h = 2.0 * problem.h_plane * sp
+    ghosted = jax.random.uniform(k_h, (L, L)) < _bond_prob(de_h, temp)
+    init = jnp.where(
+        ghosted, -1, jnp.arange(L * L, dtype=jnp.int32).reshape(L, L))
+    labels = _label_components_lattice(link_left, link_up, init)
+
+    coins = jax.random.bernoulli(k_coin, 0.5, (L * L,))
+    flip = (labels >= 0) & coins[jnp.maximum(labels, 0).reshape(-1)].reshape(
+        L, L)
+    return jnp.where(flip, -sp, sp).reshape(s.shape)

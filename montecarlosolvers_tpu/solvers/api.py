@@ -53,6 +53,8 @@ def _finalize(problem, states, info, energies=None):
 
 _METHOD_KW = {
     "sa": {"t_start", "t_end"},
+    "sa_wolff": {"t_start", "t_end", "local_sweeps"},
+    "sa_sw": {"t_start", "t_end", "local_sweeps"},
     "piqmc": {"slices", "pt", "field_start", "pre_anneal"},
     "piqmc_wolff": {"slices", "pt", "field_start", "pre_anneal", "rule",
                     "alpha"},
@@ -68,6 +70,12 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
 
     method:
       "sa"    — classical simulated annealing; kw: t_start=3.0, t_end=0.0.
+      "sa_wolff" — classical annealing with one Wolff cluster per sweep
+                (local_sweeps=True mixes colored sweeps in); best for
+                ferromagnetic / weakly frustrated problems near
+                criticality (results/cluster_value/crossover.json).
+      "sa_sw" — classical Swendsen-Wang (full-lattice cluster update per
+                sweep); same kw as sa_wolff.
       "piqmc" — MST path-integral QMC with global moves; kw: slices=20,
                 pt=1.0, field_start=3.0, pre_anneal=True.
       "piqmc_wolff" — PIQMC with Wolff cluster updates (one space-time
@@ -94,12 +102,24 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
     n = problem.nspins
     info = dict(method=method, num_reads=num_reads, sweeps=sweeps, seed=seed)
 
-    if method == "sa":
+    if method in ("sa", "sa_wolff", "sa_sw"):
         k_init, k_run = jax.random.split(key)
-        sched = schedules.linear(kw.get("t_start", 3.0), kw.get("t_end", 0.0),
-                                 sweeps)
+        # cluster bond probabilities degenerate at T = 0 (every satisfied
+        # bond activates), so the cluster anneals stop at a small floor
+        sched = schedules.linear(
+            kw.get("t_start", 3.0),
+            kw.get("t_end", 0.0 if method == "sa" else 0.05), sweeps)
         s0 = sa_mod.random_state(k_init, n, batch=(num_reads,))
-        out = sa_mod.anneal(problem, sched, s0, k_run)
+        if method == "sa":
+            out = sa_mod.anneal(problem, sched, s0, k_run)
+        elif method == "sa_wolff":
+            out = sa_mod.anneal_wolff(
+                problem, sched, s0, k_run,
+                local_sweeps=kw.get("local_sweeps", True))
+        else:
+            out = sa_mod.anneal_sw(
+                problem, sched, s0, k_run,
+                local_sweeps=kw.get("local_sweeps", True))
         return _finalize(problem, out, info)
 
     if method in ("piqmc", "piqmc_wolff", "piqmc_sw"):

@@ -159,6 +159,114 @@ def anneal_noisy(problem, sched, nbr_J_sched, h_sched, spins, key, mcsteps=1):
     return _noisy_masked_scan(problem, temps, nbr_J_sched, h_sched, spins, key)
 
 
+def anneal_wolff(problem, sched, spins, key, mcsteps=1, local_sweeps=True):
+    """Classical annealing/sampling with Wolff cluster updates — a
+    beyond-reference extension (the reference's cluster moves exist only
+    for PIQMC, qmc.pyx:620-1000; its classical solver is local-only).
+
+    Reuses the space-time FK cluster engine (ops/cluster.py) on a
+    single-slice configuration: at Gamma = inf, J_perp is exactly 0, so
+    the satisfied-bond draw contains spatial bonds only — textbook
+    classical Wolff (p = 1 - exp(-2|J|/T) on satisfied bonds) with the
+    standard Metropolis field correction. One cluster per chain per
+    schedule step; local_sweeps=True precedes each cluster with a colored
+    Metropolis sweep (the production mix — see
+    results/cluster_value/crossover.json for where clusters pay).
+
+    spins: (..., N). Fixed-temperature sampling = a constant schedule.
+    """
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_generic()
+    return _anneal_wolff_impl(problem, sched, spins, key, mcsteps=mcsteps,
+                              local_sweeps=local_sweeps)
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "local_sweeps"))
+def _anneal_wolff_impl(problem, sched, spins, key, mcsteps=1,
+                       local_sweeps=True):
+    from montecarlosolvers_tpu.ops import cluster as cluster_ops
+    from montecarlosolvers_tpu.ops.metropolis import colored_metropolis_sweep
+
+    temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    keys = jax.random.split(key, temps.shape[0])
+    orig = spins.shape
+    s = spins.reshape(-1, orig[-1])
+    chains = s.shape[0]
+
+    def one_cluster(c, k, t):
+        return cluster_ops.wolff_update(
+            problem, c[None, :], k, t, jnp.inf, 1.0, rule="local")[0]
+
+    wolff_v = jax.vmap(one_cluster, in_axes=(0, 0, None))
+
+    def body(s, x):
+        t, k = x
+        k1, k2 = jax.random.split(k)
+        if local_sweeps:
+            s = colored_metropolis_sweep(problem, s, k1, t)
+        s = wolff_v(s, jax.random.split(k2, chains), t)
+        return s, None
+
+    s, _ = jax.lax.scan(body, s, (temps, keys))
+    return s.reshape(orig)
+
+
+def anneal_sw(problem, sched, spins, key, mcsteps=1, local_sweeps=False):
+    """Classical Swendsen-Wang annealing/sampling — every FK cluster of
+    the whole lattice updates each step for roughly the cost of ONE Wolff
+    cluster's BFS (ops/cluster.classical_sw_sweep; measured crossover
+    study in results/cluster_value/crossover.json). Beyond-reference:
+    the reference has no classical cluster solver at all.
+
+    local_sweeps=True interleaves a colored Metropolis sweep before each
+    SW sweep. Fixed-temperature sampling = a constant schedule.
+    spins: (..., N). LatticeProblems are converted to the neighbor-table
+    form: the generic min-label relax measured FASTER on v5e than the
+    lattice segmented-scan labeler at every size tried (L=32..128 —
+    associative_scan's per-round constant outweighs its hop advantage;
+    results/cluster_value/crossover.json "swlat" arms). Call
+    ops/cluster.classical_sw_sweep_lattice directly to opt in to the
+    scan labeler.
+    """
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_generic()
+    return _anneal_sw_impl(problem, sched, spins, key, mcsteps=mcsteps,
+                           local_sweeps=local_sweeps)
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "local_sweeps"))
+def _anneal_sw_impl(problem, sched, spins, key, mcsteps=1,
+                    local_sweeps=False):
+    from montecarlosolvers_tpu.ops import cluster as cluster_ops
+    from montecarlosolvers_tpu.ops.metropolis import colored_metropolis_sweep
+
+    temps = sched_mod.expand_mcsteps(sched, mcsteps)
+    keys = jax.random.split(key, temps.shape[0])
+    orig = spins.shape
+    s = spins.reshape(-1, orig[-1])
+    chains = s.shape[0]
+
+    sw_v = jax.vmap(
+        lambda c, k, t: cluster_ops.classical_sw_sweep(problem, c, k, t),
+        in_axes=(0, 0, None),
+    )
+
+    def body(s, x):
+        t, k = x
+        k1, k2 = jax.random.split(k)
+        if local_sweeps:
+            s = colored_metropolis_sweep(problem, s, k1, t)
+        s = sw_v(s, jax.random.split(k2, chains), t)
+        return s, None
+
+    s, _ = jax.lax.scan(body, s, (temps, keys))
+    return s.reshape(orig)
+
+
 def random_state(key, nspins, batch=()):
     """Random +/-1 initial configuration(s) (examples/santoro80.py:259)."""
     shape = tuple(batch) + (nspins,)

@@ -130,3 +130,30 @@ class TestCli:
         r2, c2, v2 = instances.load_triplets(p)
         assert np.array_equal(r, r2) and np.array_equal(c, c2)
         assert np.allclose(v, v2)
+
+
+class TestClassicalClusterMethods:
+    def test_sa_wolff_and_sa_sw_solve(self):
+        from montecarlosolvers_tpu.models.instances import random_2d_lattice
+        from montecarlosolvers_tpu.solvers.api import solve
+
+        prob, _ = random_2d_lattice(4, rng=3)
+        for method in ("sa_wolff", "sa_sw"):
+            res = solve(prob, method=method, num_reads=8, sweeps=60, seed=0)
+            assert len(res) == 8
+            assert set(np.unique(res.samples)) <= {-1.0, 1.0}
+            # energies sorted ascending, SA-comparable quality
+            assert (np.diff(res.energies) >= 0).all()
+        with pytest.raises(TypeError):
+            solve(prob, method="sa_sw", num_reads=2, sweeps=10, slices=4)
+
+    def test_sa_sw_beats_random_on_fm(self):
+        """A pure-cluster anneal must reach the FM ground state."""
+        from montecarlosolvers_tpu.bench.cluster_crossover import fm_lattice
+        from montecarlosolvers_tpu.solvers.api import solve
+
+        prob = fm_lattice(6)
+        res = solve(prob, method="sa_sw", num_reads=4, sweeps=150, seed=1,
+                    local_sweeps=False)
+        # FM ground state energy: -2 * N (each of the 2N bonds at -1)
+        assert res.energies[0] <= -2 * 36 + 1e-3

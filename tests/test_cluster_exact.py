@@ -246,3 +246,373 @@ class TestSeedComponentSymmetry:
                     )
                 )
                 assert comp[0, 0] and comp[0, 1], (slot, seed_spin)
+
+
+class TestClassicalWolffExactGibbs:
+    """sa.anneal_wolff: the Gamma = inf single-slice reduction must sample
+    the exact CLASSICAL Boltzmann distribution."""
+
+    @pytest.mark.parametrize(
+        "j,h,local_sweeps",
+        [
+            (0.9, (0.0, 0.0), False),   # pure cluster moves, FM
+            (-0.8, (0.0, 0.0), False),  # pure cluster moves, AFM
+            (0.9, (0.4, -0.3), True),   # fields exercise the accept + mix
+            (0.9, (0.4, -0.3), False),  # fields with clusters only
+        ],
+    )
+    def test_two_spins(self, j, h, local_sweeps):
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob = _two_spin_problem(j, h)
+        temp = 1.3
+        states = _enumerate_states(2, 1)  # (4, 1, 2)
+        es = np.asarray(prob.energy(states[:, 0, :]))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsteps, burn = 64, 3000, 200
+        key = jax.random.key(0)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 2)), 1.0, -1.0
+        ).astype(jnp.float32)
+
+        weights = jnp.asarray([1, 2])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(c, k):
+                c = sa._anneal_wolff_impl(
+                    prob, jnp.full((1,), temp), c, k,
+                    local_sweeps=local_sweeps)
+                bits = (c > 0).astype(jnp.int32)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=4)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
+
+    def test_three_spin_triangle_with_field(self):
+        """Frustrated triangle + field at moderate T, mixed moves."""
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob = IsingProblem.from_edges(
+            3, [0, 0, 1, 0], [1, 2, 2, 0], [0.8, 0.8, 0.8, 0.25], maxnb=3
+        )
+        temp = 1.1
+        states = (((np.arange(8)[:, None] >> np.arange(3)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        es = np.asarray(prob.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsteps, burn = 64, 3000, 200
+        key = jax.random.key(1)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 3)), 1.0, -1.0
+        ).astype(jnp.float32)
+        weights = jnp.asarray([1, 2, 4])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(c, k):
+                c = sa._anneal_wolff_impl(
+                    prob, jnp.full((1,), temp), c, k, local_sweeps=True)
+                bits = (c > 0).astype(jnp.int32)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=8)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.012, (p_emp, p_exact)
+
+    def test_lattice_problem_and_batch_shapes(self):
+        from montecarlosolvers_tpu.models.instances import random_2d_lattice
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob, _ = random_2d_lattice(4, rng=0, lattice=True)
+        key = jax.random.key(2)
+        s0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (2, 3, 16)), 1.0, -1.0
+        ).astype(jnp.float32)
+        out = sa.anneal_wolff(prob, schedules.linear(2.0, 0.5, 5), s0, key)
+        assert out.shape == (2, 3, 16)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        out2 = sa.anneal_wolff(prob, schedules.linear(2.0, 0.5, 5), s0, key)
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+class TestClassicalSWExactGibbs:
+    """sa.anneal_sw: full-lattice Swendsen-Wang must sample the exact
+    classical Boltzmann distribution, including the ghost-spin field
+    construction (every ghost-attached component frozen, free components
+    on fair coins)."""
+
+    @pytest.mark.parametrize(
+        "j,h,local_sweeps",
+        [
+            (0.9, (0.0, 0.0), False),   # FM, pure SW
+            (-0.8, (0.0, 0.0), False),  # AFM bonds
+            (0.9, (0.4, -0.3), False),  # fields: ghost-spin freeze path
+            (-0.7, (0.5, 0.2), True),   # mixed with local sweeps
+        ],
+    )
+    def test_two_spins(self, j, h, local_sweeps):
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob = _two_spin_problem(j, h)
+        temp = 1.3
+        states = _enumerate_states(2, 1)
+        es = np.asarray(prob.energy(states[:, 0, :]))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsteps, burn = 64, 3000, 200
+        key = jax.random.key(3)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 2)), 1.0, -1.0
+        ).astype(jnp.float32)
+        weights = jnp.asarray([1, 2])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(c, k):
+                c = sa._anneal_sw_impl(
+                    prob, jnp.full((1,), temp), c, k,
+                    local_sweeps=local_sweeps)
+                bits = (c > 0).astype(jnp.int32)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=4)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.01, (p_emp, p_exact)
+
+    def test_four_spin_ring_with_fields(self):
+        """4-site frustrated ring + mixed fields: multiple simultaneous
+        clusters, several ghost attachments per sweep."""
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob = IsingProblem.from_edges(
+            4,
+            [0, 1, 2, 3, 0, 1],
+            [1, 2, 3, 0, 0, 1],
+            [0.8, -0.6, 0.9, 0.7, 0.35, -0.2],
+            maxnb=4,
+        )
+        temp = 1.2
+        states = (((np.arange(16)[:, None] >> np.arange(4)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        es = np.asarray(prob.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsteps, burn = 64, 4000, 300
+        key = jax.random.key(4)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 4)), 1.0, -1.0
+        ).astype(jnp.float32)
+        weights = jnp.asarray([1, 2, 4, 8])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(c, k):
+                c = sa._anneal_sw_impl(prob, jnp.full((1,), temp), c, k)
+                bits = (c > 0).astype(jnp.int32)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=16)
+        p_emp = counts / counts.sum()
+        assert np.max(np.abs(p_emp - p_exact)) < 0.012, (p_emp, p_exact)
+
+    def test_matches_wolff_equilibrium_on_lattice(self):
+        """SW and classical Wolff must agree on <m^2> on an FM lattice at
+        T_c (same stationary measure, very different dynamics)."""
+        from montecarlosolvers_tpu.bench.cluster_crossover import (
+            fm_lattice, T_C)
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob = fm_lattice(8)
+        key = jax.random.key(5)
+        chains, nsteps, burn = 32, 800, 200
+        s0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 64)), 1.0, -1.0
+        ).astype(jnp.float32)
+
+        @jax.jit
+        def run_sw(s, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(s, k):
+                s = sa._anneal_sw_impl(prob, jnp.full((1,), T_C), s, k)
+                return s, jnp.mean(s, -1) ** 2
+
+            return jax.lax.scan(body, s, keys)[1]
+
+        m2_sw = float(np.asarray(run_sw(s0, key))[burn:].mean())
+        # classical reference value measured with colored Metropolis
+        # (0.6507 +/- ~0.01, see bench/cluster_crossover.py docstring)
+        assert abs(m2_sw - 0.651) < 0.025, m2_sw
+
+    def test_batch_shapes_and_determinism(self):
+        from montecarlosolvers_tpu.models.instances import random_2d_lattice
+        from montecarlosolvers_tpu.solvers import sa
+
+        prob, _ = random_2d_lattice(4, rng=1, lattice=True)
+        key = jax.random.key(6)
+        s0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (2, 3, 16)), 1.0, -1.0
+        ).astype(jnp.float32)
+        out = sa.anneal_sw(prob, schedules.linear(2.0, 0.5, 5), s0, key)
+        assert out.shape == (2, 3, 16)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        out2 = sa.anneal_sw(prob, schedules.linear(2.0, 0.5, 5), s0, key)
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+class TestLatticeSWLabeler:
+    """classical_sw_sweep_lattice: the segmented row/column min-scan
+    labeler must agree with a union-find oracle, and the full sweep must
+    sample the exact classical Gibbs measure."""
+
+    def test_labels_match_union_find(self):
+        rng = np.random.default_rng(0)
+        L = 8
+        for trial in range(12):
+            ar = rng.random((L, L)) < 0.45  # (r,c) <-> (r,c+1 mod L)
+            ad = rng.random((L, L)) < 0.45  # (r,c) <-> (r+1 mod L,c)
+
+            parent = list(range(L * L))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            def union(a, b):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+            for r in range(L):
+                for c in range(L):
+                    if ar[r, c]:
+                        union(r * L + c, r * L + (c + 1) % L)
+                    if ad[r, c]:
+                        union(r * L + c, ((r + 1) % L) * L + c)
+            oracle = np.array([find(i) for i in range(L * L)]).reshape(L, L)
+
+            link_left = jnp.asarray(np.roll(ar, 1, axis=1))
+            link_up = jnp.asarray(np.roll(ad, 1, axis=0))
+            init = jnp.arange(L * L, dtype=jnp.int32).reshape(L, L)
+            got = np.asarray(cluster_ops._label_components_lattice(
+                link_left, link_up, init))
+            assert np.array_equal(got, oracle), trial
+
+    def test_frozen_seed_propagates(self):
+        """A -1 init on one site must freeze exactly its component."""
+        L = 4
+        ar = np.zeros((L, L), bool)
+        ad = np.zeros((L, L), bool)
+        ar[0, 0] = True   # connect (0,0)-(0,1)
+        ad[0, 1] = True   # connect (0,1)-(1,1)
+        init = np.arange(16, dtype=np.int32).reshape(L, L)
+        init[1, 1] = -1   # ghost-attach the far end of the chain
+        got = np.asarray(cluster_ops._label_components_lattice(
+            jnp.asarray(np.roll(ar, 1, axis=1)),
+            jnp.asarray(np.roll(ad, 1, axis=0)),
+            jnp.asarray(init)))
+        assert got[0, 0] == got[0, 1] == got[1, 1] == -1
+        assert (got >= 0).sum() == 13
+
+    def test_gibbs_periodic_3x3_with_fields(self):
+        from montecarlosolvers_tpu.models.lattice import LatticeProblem
+        from montecarlosolvers_tpu.solvers import sa
+
+        rng = np.random.default_rng(1)
+        jr = rng.normal(size=(3, 3)).astype(np.float32) * 0.5
+        jd = rng.normal(size=(3, 3)).astype(np.float32) * 0.5
+        h = rng.normal(size=(3, 3)).astype(np.float32) * 0.3
+        prob = LatticeProblem.from_planes(jr, jd, h)
+        temp = 1.2
+        states = (((np.arange(512)[:, None] >> np.arange(9)) & 1) * 2 - 1
+                  ).astype(np.float32)
+        es = np.asarray(prob.energy(jnp.asarray(states)))
+        w = np.exp(-es / temp)
+        p_exact = w / w.sum()
+
+        chains, nsteps, burn = 64, 4000, 300
+        key = jax.random.key(7)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 9)), 1.0, -1.0
+        ).astype(jnp.float32)
+        weights = jnp.asarray([1 << i for i in range(9)])
+
+        @jax.jit
+        def run(confs, key):
+            keys = jax.random.split(key, nsteps)
+
+            def body(c, k):
+                c = sa._anneal_sw_impl(prob, jnp.full((1,), temp), c, k)
+                bits = (c > 0).astype(jnp.int32)
+                return c, bits @ weights
+
+            _, idxs = jax.lax.scan(body, confs, keys)
+            return idxs
+
+        idxs = np.asarray(run(confs0, key))[burn:]
+        counts = np.bincount(idxs.ravel(), minlength=512)
+        p_emp = counts / counts.sum()
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.03, tv
+
+    def test_lattice_matches_generic_equilibrium(self):
+        """Lattice-scan SW and generic-relax SW share <m^2> at T_c."""
+        from montecarlosolvers_tpu.bench.cluster_crossover import (
+            fm_lattice, T_C)
+        from montecarlosolvers_tpu.solvers import sa
+
+        key = jax.random.key(8)
+        chains, nsteps, burn = 32, 800, 200
+        s0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, 64)), 1.0, -1.0
+        ).astype(jnp.float32)
+        out = {}
+        for tag, prob in (("gen", fm_lattice(8)),
+                          ("lat", fm_lattice(8, lattice=True))):
+            @jax.jit
+            def run(s, key, prob=prob):
+                keys = jax.random.split(key, nsteps)
+
+                def body(s, k):
+                    s = sa._anneal_sw_impl(prob, jnp.full((1,), T_C), s, k)
+                    return s, jnp.mean(s, -1) ** 2
+
+                return jax.lax.scan(body, s, keys)[1]
+
+            out[tag] = float(np.asarray(run(s0, key))[burn:].mean())
+        assert abs(out["gen"] - out["lat"]) < 0.02, out
+        assert abs(out["lat"] - 0.651) < 0.025, out
