@@ -670,3 +670,92 @@ def classical_sw_sweep_lattice(problem, s, key, temp):
     flip = (labels >= 0) & coins[jnp.maximum(labels, 0).reshape(-1)].reshape(
         L, L)
     return jnp.where(flip, -sp, sp).reshape(s.shape)
+
+
+def spacetime_sw_sweep(problem, confs, key, temp, gamma, b,
+                       lookuptable=None):
+    """Full space-time Swendsen-Wang sweep for PIQMC — every FK cluster
+    of the (P, N) extended system updates in one labeling pass.
+
+    Beyond-reference completion of the cluster family: wolff_update grows
+    and flips ONE cluster per call (the reference's move, qmc.pyx:693-697);
+    this draws the same satisfied-bond FK graph (spatial B J_ij, temporal
+    -jperp, optional bath -T_eff lut[d-1]) once, labels every component
+    with the min-label relax (`_label_components` cost model: one round
+    per hop of the largest component's eccentricity — the same price as
+    one Wolff BFS), and flips each component on an independent fair coin.
+    Fields use the ghost-spin construction via -1 label seeds, exactly as
+    classical_sw_sweep; exactness is histogram-tested against the
+    extended Gibbs measure (tests/test_cluster_exact.py).
+
+    confs: (P, N) float +/-1, unbatched (vmap over a chain axis).
+    """
+    slices, nspins = confs.shape
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    k_sp, k_t, k_bath, k_h, k_coin = jax.random.split(key, 5)
+
+    s = confs.astype(jnp.float32)
+    s_nb = jnp.take(s, problem.nbr_idx, axis=1)  # (P, N, maxnb)
+
+    # satisfied-bond FK draw — one draw per undirected pair (wolff_update
+    # rule="local" conventions)
+    de_sp = 2.0 * b * problem.nbr_J[None] * s[:, :, None] * s_nb
+    lower = jnp.arange(nspins)[:, None] < problem.nbr_idx
+    u_sp = jax.random.uniform(k_sp, de_sp.shape)
+    active_sp = lower[None] & (u_sp < _bond_prob(de_sp, teff))
+    active_full = _symmetrize_spatial(active_sp, problem.nbr_idx)
+
+    de_t = -2.0 * jp * s * jnp.roll(s, -1, axis=0)
+    u_t = jax.random.uniform(k_t, de_t.shape)
+    active_up = u_t < _bond_prob(de_t, teff)  # slice k <-> k+1 (mod P)
+    dn_active = jnp.roll(active_up, 1, axis=0)
+
+    active_bath = None
+    if lookuptable is not None:
+        lut = jnp.asarray(lookuptable)
+        off = (jnp.arange(slices)[None, :]
+               - jnp.arange(slices)[:, None]) % slices
+        st = s.T  # (N, P)
+        de_b = (
+            -2.0 * teff * lut[jnp.maximum(off - 1, 0)][None]
+            * st[:, :, None] * st[:, None, :]
+        )
+        p_b = jnp.where(off[None] > 0, _bond_prob(de_b, teff), 0.0)
+        u_b = _mirror_upper(jax.random.uniform(
+            k_bath, (nspins, slices, slices)))
+        active_bath = u_b < p_b  # (N, P, P)
+
+    # ghost bonds for the field term; frozen components relax to -1
+    de_h = 2.0 * b * problem.h[None, :] * s
+    ghosted = jax.random.uniform(k_h, de_h.shape) < _bond_prob(de_h, teff)
+    flat = jnp.arange(slices * nspins, dtype=jnp.int32).reshape(
+        slices, nspins)
+    labels = jnp.where(ghosted, -1, flat)
+    big = slices * nspins
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels, _ = state
+        nb_lab = jnp.where(
+            active_full, jnp.take(labels, problem.nbr_idx, axis=1), big)
+        new = jnp.minimum(labels, jnp.min(nb_lab, axis=-1))
+        new = jnp.minimum(
+            new, jnp.where(active_up, jnp.roll(labels, -1, axis=0), big))
+        new = jnp.minimum(
+            new, jnp.where(dn_active, jnp.roll(labels, 1, axis=0), big))
+        if active_bath is not None:
+            lt = labels.T  # (N, P)
+            bmin = jnp.min(
+                jnp.where(active_bath, lt[:, None, :], big), axis=-1)
+            new = jnp.minimum(new, bmin.T)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+
+    coins = jax.random.bernoulli(k_coin, 0.5, (slices * nspins,))
+    flip = (labels >= 0) & coins[jnp.maximum(labels, 0).reshape(-1)].reshape(
+        slices, nspins)
+    return jnp.where(flip, -confs, confs)

@@ -60,6 +60,8 @@ _METHOD_KW = {
                     "alpha"},
     "piqmc_sw": {"slices", "pt", "field_start", "pre_anneal", "alpha",
                  "per_slice_seeds"},
+    "piqmc_sw_full": {"slices", "pt", "field_start", "pre_anneal", "alpha",
+                      "local_sweeps"},
     "svmc": {"field_start", "temp"},
     "pt": {"t_min", "t_max", "ladder"},
 }
@@ -83,6 +85,9 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 alpha (bath coupling; adds bath bonds when set).
       "piqmc_sw" — dissipative PIQMC with SW bath clusters; kw: piqmc's
                 + alpha=1e-3, per_slice_seeds=True.
+      "piqmc_sw_full" — PIQMC with FULL space-time Swendsen-Wang sweeps
+                (every FK cluster per step, qmc.anneal_sw); kw: piqmc's
+                + alpha (optional bath bonds), local_sweeps=True.
       "svmc"  — spin-vector MC with TF proposals; kw: field_start=3.0,
                 temp=0.05.
       "pt"    — parallel tempering; kw: t_min=0.1, t_max=3.0, ladder=16
@@ -122,7 +127,7 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 local_sweeps=kw.get("local_sweeps", True))
         return _finalize(problem, out, info)
 
-    if method in ("piqmc", "piqmc_wolff", "piqmc_sw"):
+    if method in ("piqmc", "piqmc_wolff", "piqmc_sw", "piqmc_sw_full"):
         slices = kw.get("slices", 20)
         pt = kw.get("pt", 1.0)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -150,11 +155,20 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 problem, a, b, pt / slices, confs, k3,
                 rule=kw.get("rule", "local"), lookuptable=lut,
             )
-        else:  # piqmc_sw
+        elif method == "piqmc_sw":
             lut = schedules.bath_lookuptable(slices, kw.get("alpha", 1e-3))
             confs = qmc_mod.anneal_sw_bath(
                 problem, a, b, pt / slices, lut, confs, k3,
                 per_slice_seeds=kw.get("per_slice_seeds", True),
+            )
+        else:  # piqmc_sw_full: global space-time SW decomposition
+            lut = (
+                schedules.bath_lookuptable(slices, kw["alpha"])
+                if "alpha" in kw else None
+            )
+            confs = qmc_mod.anneal_sw(
+                problem, a, b, pt / slices, confs, k3, lookuptable=lut,
+                local_sweeps=kw.get("local_sweeps", True),
             )
         # best slice per read; energies already known — skip re-evaluation
         es = np.asarray(problem.energy(confs))  # (reads, P)

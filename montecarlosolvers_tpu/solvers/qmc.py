@@ -244,6 +244,72 @@ def _anneal_wolff_impl(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
     return confs
 
 
+def anneal_sw(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
+              lookuptable=None, local_sweeps=False):
+    """PIQMC anneal with FULL space-time Swendsen-Wang sweeps — every FK
+    cluster of the (P, N) extended system updates each step for the cost
+    of one Wolff cluster's growth (ops/cluster.spacetime_sw_sweep).
+
+    Beyond-reference: the reference flips one cluster per step
+    (qmc.pyx:693-697) and only decomposes bath LINES into clusters
+    (anneal_sw_bath / WC2-WC3, qmc.pyx:1231-1621); this is the global
+    SW decomposition of the whole space-time graph (spatial + Trotter +
+    optional bath bonds). Exact extended-Gibbs sampling, histogram-tested.
+
+    local_sweeps=True interleaves a local colored sweep before each SW
+    sweep. LatticeProblems are converted to the neighbor-table form.
+    """
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_generic()
+    if lookuptable is not None:
+        # same (N, P, P) bath bond tensors as the dissipative Wolff draw
+        chains = int(np.prod(confs.shape[:-2])) if confs.ndim > 2 else 1
+        slices = confs.shape[-2]
+        est = 3 * 4 * chains * problem.nspins * slices * slices
+        if est > 8 << 30:
+            raise ValueError(
+                f"space-time SW bath draw needs ~{est / 2**30:.1f} GiB of "
+                f"(chains={chains}, N={problem.nspins}, P={slices}) bond "
+                "tensors — reduce the chain batch or shard chains "
+                "(parallel/mesh.py)."
+            )
+    return _anneal_sw_impl(problem, a_sched, b_sched, temp, confs, key,
+                           mcsteps=mcsteps, lookuptable=lookuptable,
+                           local_sweeps=local_sweeps)
+
+
+@partial(jax.jit, static_argnames=("mcsteps", "local_sweeps"))
+def _anneal_sw_impl(problem, a_sched, b_sched, temp, confs, key, mcsteps=1,
+                    lookuptable=None, local_sweeps=False):
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    batched = confs.ndim > 2
+    upd = partial(cluster_ops.spacetime_sw_sweep, lookuptable=lookuptable)
+    if batched:
+        updv = jax.vmap(upd, in_axes=(None, 0, 0, None, None, None),
+                        out_axes=0)
+
+    def body(confs, x):
+        gamma, bcur, k = x
+        k1, k2 = jax.random.split(k)
+        if local_sweeps:
+            confs = piqmc_ops.local_sweep(problem, confs, k1, temp, gamma,
+                                          bcur)
+        if batched:
+            ks = jax.random.split(k2, confs.shape[0])
+            confs = updv(problem, confs, ks, temp, gamma, bcur)
+        else:
+            confs = upd(problem, confs, k2, temp, gamma, bcur)
+        return confs, None
+
+    confs, _ = jax.lax.scan(body, confs, (a, b, keys))
+    return confs
+
+
 @partial(jax.jit, static_argnames=("mcsteps", "per_slice_seeds", "local_sweeps"))
 def anneal_sw_bath(problem, a_sched, b_sched, temp, lookuptable, confs, key,
                    mcsteps=1, per_slice_seeds=True, local_sweeps=True):

@@ -616,3 +616,84 @@ class TestLatticeSWLabeler:
             out[tag] = float(np.asarray(run(s0, key))[burn:].mean())
         assert abs(out["gen"] - out["lat"]) < 0.02, out
         assert abs(out["lat"] - 0.651) < 0.025, out
+
+
+class TestSpacetimeSWExactGibbs:
+    """qmc.anneal_sw / cluster_ops.spacetime_sw_sweep: the full space-time
+    Swendsen-Wang decomposition (spatial + Trotter + optional bath bonds,
+    ghost-spin fields) must sample the exact extended-Gibbs measure."""
+
+    @pytest.mark.parametrize(
+        "j,h,gamma",
+        [
+            (0.9, (0.0, 0.0), 0.7),   # FM, temporal bonds live
+            (-0.8, (0.0, 0.0), 0.7),  # AFM bonds must activate
+            (0.9, (0.4, -0.3), 0.6),  # ghost-spin field path
+        ],
+    )
+    def test_spacetime_sw_samples_extended_gibbs(self, j, h, gamma):
+        prob = _two_spin_problem(j, h)
+        slices, temp, b = 2, 0.8, 1.0
+        states = _enumerate_states(2, slices)
+        p_exact = _exact_dist(prob, states, temp, gamma, b=b)
+
+        chains, nsteps, burn = 64, 3000, 300
+        key = jax.random.key(10)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        upd = jax.vmap(
+            lambda c, k: cluster_ops.spacetime_sw_sweep(
+                prob, c, k, temp, gamma, b)
+        )
+
+        def step(c, k):
+            return upd(c, jax.random.split(k, c.shape[0]))
+
+        p_emp = _histogram(step, confs0, jax.random.key(11), nsteps, burn,
+                           2, slices)
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, (tv, p_emp, p_exact)
+
+    def test_spacetime_sw_with_bath(self):
+        prob = _two_spin_problem(0.8)
+        slices, temp, gamma, b = 2, 0.9, 0.6, 1.0
+        lut = schedules.bath_lookuptable(slices, 0.3)
+        states = _enumerate_states(2, slices)
+        p_exact = _exact_dist(prob, states, temp, gamma, b=b, lookuptable=lut)
+
+        chains, nsteps, burn = 64, 3000, 300
+        key = jax.random.key(12)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (chains, slices, 2)), 1.0, -1.0
+        )
+        upd = jax.vmap(
+            lambda c, k: cluster_ops.spacetime_sw_sweep(
+                prob, c, k, temp, gamma, b, lookuptable=lut)
+        )
+
+        def step(c, k):
+            return upd(c, jax.random.split(k, c.shape[0]))
+
+        p_emp = _histogram(step, confs0, jax.random.key(13), nsteps, burn,
+                           2, slices)
+        tv = 0.5 * np.abs(p_emp - p_exact).sum()
+        assert tv < 0.02, (tv, p_emp, p_exact)
+
+    def test_solver_shapes_and_determinism(self):
+        from montecarlosolvers_tpu.models.instances import random_2d_lattice
+        from montecarlosolvers_tpu.solvers import qmc
+
+        prob, _ = random_2d_lattice(4, rng=5, lattice=True)
+        key = jax.random.key(14)
+        confs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (3, 4, 16)), 1.0, -1.0
+        ).astype(jnp.float32)
+        a = schedules.transverse_field(2.0, 0.5, 6)
+        out = qmc.anneal_sw(prob, a, jnp.ones_like(a), 0.25, confs, key,
+                            local_sweeps=True)
+        assert out.shape == (3, 4, 16)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        out2 = qmc.anneal_sw(prob, a, jnp.ones_like(a), 0.25, confs, key,
+                             local_sweeps=True)
+        assert np.array_equal(np.asarray(out), np.asarray(out2))
