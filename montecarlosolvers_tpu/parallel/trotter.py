@@ -630,3 +630,165 @@ def _anneal_wolff_sharded_jit(problem, a_sched, b_sched, temp, confs, key,
         in_specs=(P("replica", None), P(), P(), P()),
         out_specs=P("replica", None),
     )(confs, keys, a, b)
+
+
+def _spacetime_sw_sharded_sweep(problem, confs_l, key, temp, gamma, b, axis,
+                                lookuptable):
+    """One full space-time Swendsen-Wang sweep on a Trotter-sharded
+    (P_local, N) block — the distributed form of
+    ops/cluster.spacetime_sw_sweep (same bond rules, same key-split
+    structure).
+
+    Bond/coin draws are REPLICATED (full-shape uniforms from the shared
+    key, each shard slicing its own rows), and the min-label relax's
+    fixed point — every component's minimum global flat index — is
+    iteration-order independent, so the sweep is BITWISE identical to
+    the single-device engine. Per relax round the halo is one boundary
+    label row `ppermute` per temporal direction (plus an `all_gather`
+    of the labels when bath bonds are present); the continue flag is a
+    psum'd any-changed bit so all shards exit together.
+    """
+    from montecarlosolvers_tpu.ops.cluster import (
+        _bond_prob,
+        _mirror_upper,
+        _symmetrize_spatial,
+    )
+
+    ndev = lax.axis_size(axis)
+    p_local, nspins = confs_l.shape
+    slices = p_local * ndev
+    teff = temp * slices
+    jp = jperp_of(gamma, teff)
+    me = lax.axis_index(axis)
+
+    k_sp, k_t, k_bath, k_h, k_coin = jax.random.split(key, 5)
+    s = confs_l.astype(jnp.float32)
+    s_nb = jnp.take(s, problem.nbr_idx, axis=1)
+
+    def my_rows(u, ax):
+        return lax.dynamic_slice_in_dim(u, me * p_local, p_local, axis=ax)
+
+    de_sp = 2.0 * b * problem.nbr_J[None] * s[:, :, None] * s_nb
+    lower = jnp.arange(nspins)[:, None] < problem.nbr_idx
+    u_sp = my_rows(
+        jax.random.uniform(k_sp, (slices, nspins, problem.maxnb)), 0)
+    active_sp = lower[None] & (u_sp < _bond_prob(de_sp, teff))
+    active_full = _symmetrize_spatial(active_sp, problem.nbr_idx)
+
+    de_t = -2.0 * jp * s * _ring_dn(s, axis)
+    u_t = my_rows(jax.random.uniform(k_t, (slices, nspins)), 0)
+    active_up = u_t < _bond_prob(de_t, teff)
+    dn_active = _ring_up(active_up, axis)
+
+    active_bath = None
+    if lookuptable is not None:
+        lut = jnp.asarray(lookuptable)
+        s_full = lax.all_gather(s, axis, axis=0, tiled=True)  # (P, N)
+        st_full = s_full.T
+        gidx = me * p_local + jnp.arange(p_local)
+        off = (jnp.arange(slices)[None, :] - gidx[:, None]) % slices
+        de_b = (
+            -2.0 * teff * lut[jnp.maximum(off - 1, 0)][None]
+            * s.T[:, :, None] * st_full[:, None, :]
+        )  # (N, P_local, P)
+        p_b = jnp.where(off[None] > 0, _bond_prob(de_b, teff), 0.0)
+        u_b = _mirror_upper(
+            jax.random.uniform(k_bath, (nspins, slices, slices)))
+        active_bath = my_rows(u_b, 1) < p_b
+
+    # ghost seeds (-1) freeze field-bonded components through the relax
+    de_h = 2.0 * b * problem.h[None, :] * s
+    u_h = my_rows(jax.random.uniform(k_h, (slices, nspins)), 0)
+    ghosted = u_h < _bond_prob(de_h, teff)
+    flat = (
+        (me * p_local + jnp.arange(p_local, dtype=jnp.int32))[:, None]
+        * nspins
+        + jnp.arange(nspins, dtype=jnp.int32)[None, :]
+    )
+    labels0 = jnp.where(ghosted, -1, flat)
+    big = slices * nspins
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels, _ = state
+        nb_lab = jnp.where(
+            active_full, jnp.take(labels, problem.nbr_idx, axis=1), big)
+        new = jnp.minimum(labels, jnp.min(nb_lab, axis=-1))
+        new = jnp.minimum(
+            new, jnp.where(active_up, _ring_dn(labels, axis), big))
+        new = jnp.minimum(
+            new, jnp.where(dn_active, _ring_up(labels, axis), big))
+        if active_bath is not None:
+            l_full = lax.all_gather(labels, axis, axis=0, tiled=True)
+            bmin = jnp.min(
+                jnp.where(active_bath, l_full.T[:, None, :], big), axis=-1)
+            new = jnp.minimum(new, bmin.T)
+        changed = lax.psum(
+            jnp.any(new != labels).astype(jnp.int32), axis) > 0
+        return new, changed
+
+    labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+
+    coins = jax.random.bernoulli(k_coin, 0.5, (slices * nspins,))
+    flip = (labels >= 0) & coins[
+        jnp.maximum(labels, 0).reshape(-1)].reshape(p_local, nspins)
+    return jnp.where(flip, -confs_l, confs_l)
+
+
+def anneal_sw_sharded(problem, a_sched, b_sched, temp, confs, key, mesh,
+                      mcsteps=1, lookuptable=None):
+    """PIQMC anneal with full space-time Swendsen-Wang sweeps, the
+    Trotter axis sharded over mesh axis "replica" — the distributed form
+    of solvers.qmc.anneal_sw, BITWISE identical to it (the SW labels'
+    fixed point is deterministic, so even field problems match exactly,
+    unlike the sharded Wolff accept's psum'd field reduction).
+
+    confs: (P, N) unbatched, P divisible by the replica axis size.
+    """
+    from montecarlosolvers_tpu.models.lattice import LatticeProblem
+
+    if isinstance(problem, LatticeProblem):
+        problem = problem.to_generic()
+    return _anneal_sw_sharded_jit(
+        problem, a_sched, b_sched, temp, confs, key, mesh,
+        mcsteps=mcsteps, lookuptable=lookuptable,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "mcsteps"))
+def _anneal_sw_sharded_jit(problem, a_sched, b_sched, temp, confs, key,
+                           mesh, mcsteps=1, lookuptable=None):
+    a = sched_mod.expand_mcsteps(a_sched, mcsteps)
+    b = sched_mod.expand_mcsteps(b_sched, mcsteps)
+    keys = jax.random.split(key, a.shape[0])
+
+    replica_size = mesh.shape["replica"]
+    if confs.shape[-2] % replica_size:
+        raise ValueError(
+            f"P = {confs.shape[-2]} must divide by the replica axis size "
+            f"{replica_size}"
+        )
+
+    def run(confs_l, keys, a, b):
+        def body(confs_l, x):
+            gamma, bcur, k = x
+            # mirror the single-device _anneal_sw_impl key split so the
+            # trajectories stay bitwise comparable
+            _, k2 = jax.random.split(k)
+            confs_l = _spacetime_sw_sharded_sweep(
+                problem, confs_l, k2, temp, gamma, bcur, "replica",
+                lookuptable,
+            )
+            return confs_l, None
+
+        confs_l, _ = jax.lax.scan(body, confs_l, (a, b, keys))
+        return confs_l
+
+    return shard_map(
+        run,
+        mesh,
+        in_specs=(P("replica", None), P(), P(), P()),
+        out_specs=P("replica", None),
+    )(confs, keys, a, b)

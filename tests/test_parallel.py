@@ -442,3 +442,50 @@ class TestTrotterShardedWolff:
             trotter.anneal_wolff_sharded(
                 prob, a, b, 1.0 / 6, confs, key, mesh
             )
+
+
+class TestTrotterShardedSW:
+    """Trotter-sharded space-time Swendsen-Wang
+    (parallel/trotter.anneal_sw_sharded): replicated draws + a
+    deterministic label fixed point make the sweep BITWISE identical to
+    the single-device qmc.anneal_sw — including with fields and bath."""
+
+    def _setup(self, rng, slices, with_fields=False):
+        prob, _ = instances.random_2d_lattice(4, rng=rng,
+                                              with_fields=with_fields)
+        key = jax.random.key(9)
+        confs = qmc.replicate(sa.random_state(key, prob.nspins), slices)
+        a = schedules.transverse_field(2.5, 1e-8, 20)
+        return prob, confs, a, jnp.ones_like(a), key
+
+    def test_bitwise_matches_single_device(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8)
+        mesh = make_mesh(replica=4)
+        ref = np.asarray(qmc.anneal_sw(prob, a, b, 1.0 / 8, confs, key))
+        out = np.asarray(trotter.anneal_sw_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh))
+        assert np.array_equal(ref, out)
+
+    def test_bitwise_with_fields(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8, with_fields=True)
+        mesh = make_mesh(replica=8)
+        ref = np.asarray(qmc.anneal_sw(prob, a, b, 1.0 / 8, confs, key))
+        out = np.asarray(trotter.anneal_sw_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh))
+        assert np.array_equal(ref, out)
+
+    def test_bitwise_with_bath(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=8)
+        lut = schedules.bath_lookuptable(8, 0.2)
+        mesh = make_mesh(replica=4)
+        ref = np.asarray(qmc.anneal_sw(
+            prob, a, b, 1.0 / 8, confs, key, lookuptable=lut))
+        out = np.asarray(trotter.anneal_sw_sharded(
+            prob, a, b, 1.0 / 8, confs, key, mesh, lookuptable=lut))
+        assert np.array_equal(ref, out)
+
+    def test_rejects_indivisible_p(self, rng, eight_devices):
+        prob, confs, a, b, key = self._setup(rng, slices=6)
+        mesh = make_mesh(replica=4)
+        with pytest.raises(ValueError, match="divide"):
+            trotter.anneal_sw_sharded(prob, a, b, 1.0 / 6, confs, key, mesh)
