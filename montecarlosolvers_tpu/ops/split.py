@@ -383,6 +383,10 @@ def qmc_split_sweep(sl, xe, xo, ye, yo, key, temp, gamma, b):
     slices = 2 * xe.shape[-2]
     teff = temp * slices
     jp = jperp_of(gamma, teff)
+    if jnp.ndim(jp) > 0:
+        # per-batch gamma (e.g. a transverse-field PT ladder): broadcast
+        # over the (P/2, Nh) trailing axes
+        jp = jp[..., None, None]
     bc = -2.0 * b
     wa, ha = sl.w_ab[:, 0], sl.h_ab[0]
     wb, hb = sl.w_ab[:, 1], sl.h_ab[1]
@@ -458,6 +462,22 @@ def qmc_slice_energies_split(sl, xe, xo, ye, yo):
     )
     e = jnp.stack([e_even, e_odd], axis=-1)  # (..., P/2, 2)
     return e.reshape(e.shape[:-2] + (e.shape[-2] * 2,))
+
+
+def qmc_split_kinetic(sl, xe, xo, ye, yo):
+    """Trotter kinetic term K(x) = sum_{i,k} s_i^k s_i^{k+1} (periodic)
+    from the split state, shape (...,). Color A sites sit at even slices
+    in xe and odd in yo, so the adjacent pairs are (2j, 2j+1) = xe[j]*yo[j]
+    and (2j+1, 2j+2 mod P) = yo[j]*xe[j+1 mod P/2]; color B likewise with
+    (ye, xo). Used by quantum parallel tempering's exchange acceptance
+    (solvers/pt.py)."""
+    ka = jnp.sum(xe * yo, axis=(-1, -2)) + jnp.sum(
+        yo * jnp.roll(xe, -1, axis=-2), axis=(-1, -2)
+    )
+    kb = jnp.sum(ye * xo, axis=(-1, -2)) + jnp.sum(
+        xo * jnp.roll(ye, -1, axis=-2), axis=(-1, -2)
+    )
+    return ka + kb
 
 
 # --------------------------------------------------------- dissipative PIQMC

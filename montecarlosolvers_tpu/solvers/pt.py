@@ -57,22 +57,6 @@ def _exchange_perm(key, parity, de_pair, temp):
     return perm, accept_anchor
 
 
-def _swap_phase(problem, states, temps, key, parity):
-    """One replica-exchange attempt across pairs (k, k+1), k % 2 == parity.
-
-    states: (M, N); temps: (M,). Returns (states, accepted_mask (M,)).
-    """
-    M = temps.shape[0]
-    e = problem.energy(states)  # (M,)
-    beta = 1.0 / temps
-    idx = jnp.arange(M)
-    delta = (beta - beta[jnp.clip(idx + 1, 0, M - 1)]) * (
-        e - e[jnp.clip(idx + 1, 0, M - 1)]
-    )
-    perm, accept_anchor = _exchange_perm(key, parity, -delta, 1.0)
-    return states[perm], accept_anchor
-
-
 @partial(jax.jit, static_argnames=("nsweeps", "swap_every", "collect_energy",
                                    "per_pair_rates"))
 def sample(problem, temps, states, key, nsweeps, swap_every=1,
@@ -97,42 +81,77 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
     M = temps.shape[0]
 
     from montecarlosolvers_tpu.models.dense import DenseProblem
+    from montecarlosolvers_tpu.ops import split as split_ops
 
+    use_split = False
     if isinstance(problem, DenseProblem):
         from montecarlosolvers_tpu.ops.dense_sweep import dense_metropolis_sweep
+
+        state = states
 
         def _sweep(states, k):
             # rungs are the chain axis; per-rung temps broadcast through
             # the per-chain acceptance of the dense engine
             return dense_metropolis_sweep(problem, states, k, temps)
+
+        _energy, _permute = problem.energy, (lambda s, perm: s[perm])
+    elif split_ops.supports_split(problem):
+        # production engine for lattices: the whole (M, N) ladder is one
+        # maskless split-checkerboard state with a per-rung temperature
+        # column (same dispatch solvers.sa.anneal uses)
+        use_split = True
+        sl = split_ops.build_split(problem)
+        state = split_ops.pack_classical(sl, states)
+
+        def _sweep(state, k):
+            return split_ops.sa_split_sweep(sl, *state, k, temps[:, None])
+
+        def _energy(state):
+            return split_ops.classical_energy_split(sl, *state)
+
+        def _permute(state, perm):
+            return tuple(x[perm] for x in state)
     else:
+        state = states
+
         def _sweep(states, k):
             return colored_metropolis_sweep(problem, states, k, temps[:, None])
 
+        _energy, _permute = problem.energy, (lambda s, perm: s[perm])
+
     def body(carry, k):
-        states, nacc, natt_pair, natt = carry
+        state, nacc, natt_pair, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
-        states = _sweep(states, k1)
+        state = _sweep(state, k1)
         i = natt  # sweep counter doubles as swap parity clock
         do_swap = (i % swap_every) == 0
         parity = (i // swap_every) % 2
 
-        def with_swap(states):
-            return _swap_phase(problem, states, temps, k2, parity)
+        def with_swap(state):
+            e = _energy(state)  # (M,)
+            beta = 1.0 / temps
+            idx = jnp.arange(M)
+            nxt = jnp.clip(idx + 1, 0, M - 1)
+            delta = (beta - beta[nxt]) * (e - e[nxt])
+            perm, accept_anchor = _exchange_perm(k2, parity, -delta, 1.0)
+            return _permute(state, perm), accept_anchor
 
-        states, acc = jax.lax.cond(
+        state, acc = jax.lax.cond(
             do_swap, with_swap, lambda s: (s, jnp.zeros_like(temps, bool)),
-            states,
+            state,
         )
         # anchors attempted this step: k % 2 == parity, k+1 < M
         idx = jnp.arange(M)
         attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
-        e = problem.energy(states) if collect_energy else None
-        return (states, nacc + acc, natt_pair + attempted, natt + 1), e
+        e = _energy(state) if collect_energy else None
+        return (state, nacc + acc, natt_pair + attempted, natt + 1), e
 
     zero = jnp.zeros((M,), jnp.int32)
-    (states, nacc, natt_pair, _), es = jax.lax.scan(
-        body, (states, zero, zero, jnp.asarray(0)), keys
+    (state, nacc, natt_pair, _), es = jax.lax.scan(
+        body, (state, zero, zero, jnp.asarray(0)), keys
+    )
+    states = (
+        split_ops.unpack_classical(sl, *state) if use_split else state
     )
     swap_rate = nacc.sum() / jnp.maximum(natt_pair.sum(), 1)
     out = (states, swap_rate)
@@ -169,41 +188,84 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
     jps = jperp_of(gammas, teff)
     keys = jax.random.split(key, nsweeps)
 
-    def _K(confs):
-        return jnp.sum(confs * jnp.roll(confs, -1, axis=-2), axis=(-1, -2))
+    from montecarlosolvers_tpu.ops import split as split_ops
+
+    use_split = split_ops.supports_split(problem, slices)
+    if use_split:
+        # production engine: the whole (M, P, N) ladder is one maskless
+        # split-checkerboard state with a per-rung J_perp vector — ~10x
+        # the vmapped generic engine at benchmark scale (measured in
+        # results/pt_value: 2.16 s -> 0.2 s for 500 sweeps at M=48, P=20)
+        sl = split_ops.build_split(problem)
+        state = split_ops.pack_qmc(sl, confs)
+
+        def _sweep(state, k1, k3):
+            state = split_ops.qmc_split_sweep(
+                sl, *state, k1, temp, gammas, b
+            )
+            if global_moves:
+                state = split_ops.qmc_split_global(sl, *state, k3, temp, b)
+            return state
+
+        def _kin(state):
+            return split_ops.qmc_split_kinetic(sl, *state)
+
+        def _permute(state, perm):
+            return tuple(x[perm] for x in state)
+    else:
+        state = confs
+
+        def _sweep(confs, k1, k3):
+            ks = jax.random.split(k1, M)
+            confs = jax.vmap(
+                lambda c, kk, g: piqmc_ops.local_sweep(
+                    problem, c, kk, temp, g, b
+                )
+            )(confs, ks, gammas)
+            if global_moves:
+                confs = piqmc_ops.global_line_moves(
+                    problem, confs, k3, temp, b
+                )
+            return confs
+
+        def _kin(confs):
+            return jnp.sum(
+                confs * jnp.roll(confs, -1, axis=-2), axis=(-1, -2)
+            )
+
+        def _permute(confs, perm):
+            return confs[perm]
 
     def body(carry, k):
-        confs, nacc, natt_pair, natt = carry
+        state, nacc, natt_pair, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
-        ks = jax.random.split(k1, M)
-        confs = jax.vmap(
-            lambda c, kk, g: piqmc_ops.local_sweep(problem, c, kk, temp, g, b)
-        )(confs, ks, gammas)
-        if global_moves:
-            confs = piqmc_ops.global_line_moves(problem, confs, k3, temp, b)
+        state = _sweep(state, k1, k3)
         i = natt
         do_swap = (i % swap_every) == 0
         parity = (i // swap_every) % 2
 
-        def with_swap(confs):
-            kk = _K(confs)  # (M,)
+        def with_swap(state):
+            kk = _kin(state)  # (M,)
             idx = jnp.arange(M)
             nxt = jnp.clip(idx + 1, 0, M - 1)
             de = (jps - jps[nxt]) * (kk - kk[nxt])
             perm, acc = _exchange_perm(k2, parity, de, teff)
-            return confs[perm], acc
+            return _permute(state, perm), acc
 
-        confs, acc = jax.lax.cond(
+        state, acc = jax.lax.cond(
             do_swap, with_swap,
-            lambda c: (c, jnp.zeros((M,), bool)), confs,
+            lambda s: (s, jnp.zeros((M,), bool)), state,
         )
         idx = jnp.arange(M)
         attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
-        return (confs, nacc + acc, natt_pair + attempted, natt + 1), None
+        return (state, nacc + acc, natt_pair + attempted, natt + 1), None
 
     zero = jnp.zeros((M,), jnp.int32)
-    (confs, nacc, natt_pair, _), _ = jax.lax.scan(
-        body, (confs, zero, zero, jnp.asarray(0)), keys
+    (state, nacc, natt_pair, _), _ = jax.lax.scan(
+        body, (state, zero, zero, jnp.asarray(0)), keys
+    )
+    confs = (
+        split_ops.unpack_qmc(sl, *state) if use_split else state
     )
     swap_rate = nacc.sum() / jnp.maximum(natt_pair.sum(), 1)
     if per_pair_rates:

@@ -156,3 +156,95 @@ class TestQuantumPT:
         assert np.isclose(float(gammas[-1]), float(g0[-1]), rtol=1e-5)
         assert np.all(np.diff(np.asarray(gammas)) > 0)
         assert pr.std() <= pr0.std() + 0.02, (pr0, pr)
+
+
+class TestSamplePiqmcSplitEngine:
+    """sample_piqmc routes even-L LatticeProblems with even P through the
+    split-checkerboard engine (per-rung J_perp vector); both paths must
+    agree."""
+
+    def _problem(self, rng, L=4):
+        prob, triplets = instances.random_2d_lattice(L, rng=rng,
+                                                     lattice=True)
+        return prob
+
+    def test_split_kinetic_matches_generic(self, rng):
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        prob = self._problem(rng)
+        assert split_ops.supports_split(prob, 4)
+        sl = split_ops.build_split(prob)
+        key = jax.random.key(0)
+        confs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (3, 4, prob.nspins)), 1.0, -1.0
+        )
+        k_generic = jnp.sum(confs * jnp.roll(confs, -1, axis=-2),
+                            axis=(-1, -2))
+        k_split = split_ops.qmc_split_kinetic(sl, *split_ops.pack_qmc(sl, confs))
+        assert np.array_equal(np.asarray(k_generic), np.asarray(k_split))
+
+    def test_split_path_matches_generic_statistics(self, rng):
+        """Equal ladders on the same physics: per-rung mean slice energy
+        and kinetic term agree between the split engine (LatticeProblem)
+        and the generic engine (same couplings via to_generic)."""
+        prob = self._problem(rng)
+        generic = prob.to_generic()
+        gammas = jnp.asarray([1.5, 0.9, 0.5], jnp.float32)
+        M, P, temp = 3, 4, 0.6
+        key = jax.random.key(3)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (M, P, prob.nspins)), 1.0, -1.0
+        )
+
+        def run(problem, key):
+            es, ks = [], []
+            confs = confs0
+            for c in range(60):
+                key, kr = jax.random.split(key)
+                confs, rate = pt.sample_piqmc(
+                    problem, gammas, temp, confs, kr, 10, swap_every=2,
+                    global_moves=True,
+                )
+                if c >= 10:
+                    from montecarlosolvers_tpu.solvers import qmc
+                    es.append(np.asarray(
+                        qmc.slice_energies(problem, confs)).mean(axis=(1,)))
+                    ks.append(np.asarray(jnp.sum(
+                        confs * jnp.roll(confs, -1, axis=-2), axis=(-1, -2))))
+            return np.array(es), np.array(ks), float(rate)
+
+        es_s, ks_s, rate_s = run(prob, jax.random.key(11))
+        es_g, ks_g, rate_g = run(generic, jax.random.key(22))
+        # per-rung equilibrium agreement within combined standard errors
+        for m in range(M):
+            for a, b_ in ((es_s[:, m], es_g[:, m]), (ks_s[:, m], ks_g[:, m])):
+                se = np.sqrt(a.var() / (len(a) / 4) + b_.var() / (len(b_) / 4))
+                assert abs(a.mean() - b_.mean()) < 5.0 * max(se, 1e-6), (
+                    m, a.mean(), b_.mean(), se,
+                )
+        assert rate_s > 0.02 and rate_g > 0.02
+
+    def test_split_engine_marginals_match_gibbs(self, rng):
+        """Even-L LatticeProblems route pt.sample through the split
+        engine; every rung must still sample its exact Gibbs measure."""
+        from montecarlosolvers_tpu.ops import split as split_ops
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        assert split_ops.supports_split(prob)
+        temps = jnp.asarray([0.8, 1.6, 3.2])
+        key = jax.random.key(4)
+        states = sa.random_state(key, prob.nspins, batch=(3,))
+        nsweeps, burn = 12000, 2000
+        out, rate, es = pt.sample(
+            prob, temps, states, key, nsweeps, swap_every=2,
+            collect_energy=True,
+        )
+        assert out.shape == (3, prob.nspins)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        es = np.asarray(es)[burn:]
+        assert float(rate) > 0.05, "no replica exchange happening"
+        for k, t in enumerate(np.asarray(temps)):
+            exact = _exact_mean_energy(prob, t)
+            emp = es[:, k].mean()
+            se = es[:, k].std() / np.sqrt(len(es) / 20.0)
+            assert abs(emp - exact) < max(5.0 * se, 0.1), (k, t, emp, exact)
