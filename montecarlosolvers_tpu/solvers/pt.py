@@ -1,11 +1,16 @@
 """Parallel tempering (replica exchange) — a production extension beyond
 the reference's capability surface (it has no replica-exchange component;
-SURVEY.md §2), natural on TPU: the temperature ladder is a batch axis, and
-swap moves are a masked permutation.
+SURVEY.md §2), designed TPU-first: the ladder is a batch axis through the
+split-checkerboard engine, and exchanges permute temperature LABELS, not
+configurations — the (M, N) state arrays never move, only an (M,)
+replica_of_rung map does. That makes an accepted swap free of gathers and
+makes the whole sampler shardable over rungs by plain GSPMD annotation
+(shard the leading axis; the only cross-device traffic is the (M,)
+energy/kinetic gather of the exchange test — bitwise-validated on the
+8-device virtual mesh in tests/test_pt.py).
 
-Replica i runs colored-Metropolis sweeps at temps[i]; after every
-`swap_every` sweeps, adjacent pairs (alternating even/odd anchors per
-attempt) exchange configurations with the standard acceptance
+After every `swap_every` sweeps, adjacent rung pairs (alternating
+even/odd anchors per attempt) exchange with the standard acceptance
 
     p = min(1, exp((1/T_i - 1/T_j)(E_i - E_j))),
 
@@ -89,10 +94,10 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
 
         state = states
 
-        def _sweep(states, k):
+        def _sweep(states, k, t_rep):
             # rungs are the chain axis; per-rung temps broadcast through
             # the per-chain acceptance of the dense engine
-            return dense_metropolis_sweep(problem, states, k, temps)
+            return dense_metropolis_sweep(problem, states, k, t_rep)
 
         _energy, _permute = problem.energy, (lambda s, perm: s[perm])
     elif split_ops.supports_split(problem):
@@ -103,8 +108,8 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
         sl = split_ops.build_split(problem)
         state = split_ops.pack_classical(sl, states)
 
-        def _sweep(state, k):
-            return split_ops.sa_split_sweep(sl, *state, k, temps[:, None])
+        def _sweep(state, k, t_rep):
+            return split_ops.sa_split_sweep(sl, *state, k, t_rep[:, None])
 
         def _energy(state):
             return split_ops.classical_energy_split(sl, *state)
@@ -114,42 +119,54 @@ def sample(problem, temps, states, key, nsweeps, swap_every=1,
     else:
         state = states
 
-        def _sweep(states, k):
-            return colored_metropolis_sweep(problem, states, k, temps[:, None])
+        def _sweep(states, k, t_rep):
+            return colored_metropolis_sweep(problem, states, k, t_rep[:, None])
 
         _energy, _permute = problem.energy, (lambda s, perm: s[perm])
 
+    # Label-permutation exchange: replica configurations NEVER move —
+    # an accepted swap exchanges the rungs' temperature labels instead.
+    # Physically identical to exchanging configurations, but the carry's
+    # only permuted object is the (M,) replica_of_rung map, so the big
+    # state arrays stay put (no M x N gather per exchange, and under
+    # rung sharding no cross-device state movement at all — the only
+    # collective a sharded run needs is the (M,) energy gather).
+    idx = jnp.arange(M)
+    beta = 1.0 / temps
+    nxt = jnp.clip(idx + 1, 0, M - 1)
+
     def body(carry, k):
-        state, nacc, natt_pair, natt = carry
+        state, ror, nacc, natt_pair, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
-        state = _sweep(state, k1)
+        # labels = rung of each replica (inverse of replica_of_rung)
+        labels = jnp.zeros((M,), jnp.int32).at[ror].set(
+            idx.astype(jnp.int32)
+        )
+        state = _sweep(state, k1, temps[labels])
         i = natt  # sweep counter doubles as swap parity clock
         do_swap = (i % swap_every) == 0
         parity = (i // swap_every) % 2
 
-        def with_swap(state):
-            e = _energy(state)  # (M,)
-            beta = 1.0 / temps
-            idx = jnp.arange(M)
-            nxt = jnp.clip(idx + 1, 0, M - 1)
-            delta = (beta - beta[nxt]) * (e - e[nxt])
+        def with_swap(ror):
+            e_rung = _energy(state)[ror]  # rung-ordered energies
+            delta = (beta - beta[nxt]) * (e_rung - e_rung[nxt])
             perm, accept_anchor = _exchange_perm(k2, parity, -delta, 1.0)
-            return _permute(state, perm), accept_anchor
+            return ror[perm], accept_anchor
 
-        state, acc = jax.lax.cond(
-            do_swap, with_swap, lambda s: (s, jnp.zeros_like(temps, bool)),
-            state,
+        ror, acc = jax.lax.cond(
+            do_swap, with_swap, lambda r: (r, jnp.zeros((M,), bool)), ror,
         )
         # anchors attempted this step: k % 2 == parity, k+1 < M
-        idx = jnp.arange(M)
         attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
-        e = _energy(state) if collect_energy else None
-        return (state, nacc + acc, natt_pair + attempted, natt + 1), e
+        e = _energy(state)[ror] if collect_energy else None
+        return (state, ror, nacc + acc, natt_pair + attempted, natt + 1), e
 
     zero = jnp.zeros((M,), jnp.int32)
-    (state, nacc, natt_pair, _), es = jax.lax.scan(
-        body, (state, zero, zero, jnp.asarray(0)), keys
+    ror0 = jnp.arange(M, dtype=jnp.int32)
+    (state, ror, nacc, natt_pair, _), es = jax.lax.scan(
+        body, (state, ror0, zero, zero, jnp.asarray(0)), keys
     )
+    state = _permute(state, ror)  # return rung-ordered, as documented
     states = (
         split_ops.unpack_classical(sl, *state) if use_split else state
     )
@@ -170,9 +187,10 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
     field ladder at fixed temperature.
 
     Each rung m runs space-time-colored PIQMC sweeps at Gamma = gammas[m];
-    adjacent rungs exchange whole Trotter configurations. Only the kinetic
-    term -J_perp K(x), K(x) = sum_{i,k} s_i^k s_i^{k+1}, differs between
-    rungs, so the exchange acceptance is
+    adjacent rungs exchange (by Gamma-label permutation — configurations
+    stay put, see `sample`). Only the kinetic term -J_perp K(x),
+    K(x) = sum_{i,k} s_i^k s_i^{k+1}, differs between rungs, so the
+    exchange acceptance is
 
         p = min(1, exp(-(J_perp_i - J_perp_j)(K_i - K_j)/T_eff)),
 
@@ -199,9 +217,9 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
         sl = split_ops.build_split(problem)
         state = split_ops.pack_qmc(sl, confs)
 
-        def _sweep(state, k1, k3):
+        def _sweep(state, k1, k3, g_rep):
             state = split_ops.qmc_split_sweep(
-                sl, *state, k1, temp, gammas, b
+                sl, *state, k1, temp, g_rep, b
             )
             if global_moves:
                 state = split_ops.qmc_split_global(sl, *state, k3, temp, b)
@@ -215,13 +233,13 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
     else:
         state = confs
 
-        def _sweep(confs, k1, k3):
+        def _sweep(confs, k1, k3, g_rep):
             ks = jax.random.split(k1, M)
             confs = jax.vmap(
                 lambda c, kk, g: piqmc_ops.local_sweep(
                     problem, c, kk, temp, g, b
                 )
-            )(confs, ks, gammas)
+            )(confs, ks, g_rep)
             if global_moves:
                 confs = piqmc_ops.global_line_moves(
                     problem, confs, k3, temp, b
@@ -236,34 +254,42 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
         def _permute(confs, perm):
             return confs[perm]
 
+    # Label-permutation exchange (see `sample`): configurations stay put,
+    # the Gamma labels move — no (M, P, N) gather per exchange, and rung
+    # sharding needs only the (M,) kinetic-term gather.
+    idx = jnp.arange(M)
+    nxt = jnp.clip(idx + 1, 0, M - 1)
+
     def body(carry, k):
-        state, nacc, natt_pair, natt = carry
+        state, ror, nacc, natt_pair, natt = carry
         k1, k2, k3 = jax.random.split(k, 3)
-        state = _sweep(state, k1, k3)
+        labels = jnp.zeros((M,), jnp.int32).at[ror].set(
+            idx.astype(jnp.int32)
+        )
+        state = _sweep(state, k1, k3, gammas[labels])
         i = natt
         do_swap = (i % swap_every) == 0
         parity = (i // swap_every) % 2
 
-        def with_swap(state):
-            kk = _kin(state)  # (M,)
-            idx = jnp.arange(M)
-            nxt = jnp.clip(idx + 1, 0, M - 1)
+        def with_swap(ror):
+            kk = _kin(state)[ror]  # rung-ordered kinetic terms
             de = (jps - jps[nxt]) * (kk - kk[nxt])
             perm, acc = _exchange_perm(k2, parity, de, teff)
-            return _permute(state, perm), acc
+            return ror[perm], acc
 
-        state, acc = jax.lax.cond(
+        ror, acc = jax.lax.cond(
             do_swap, with_swap,
-            lambda s: (s, jnp.zeros((M,), bool)), state,
+            lambda r: (r, jnp.zeros((M,), bool)), ror,
         )
-        idx = jnp.arange(M)
         attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
-        return (state, nacc + acc, natt_pair + attempted, natt + 1), None
+        return (state, ror, nacc + acc, natt_pair + attempted, natt + 1), None
 
     zero = jnp.zeros((M,), jnp.int32)
-    (state, nacc, natt_pair, _), _ = jax.lax.scan(
-        body, (state, zero, zero, jnp.asarray(0)), keys
+    ror0 = jnp.arange(M, dtype=jnp.int32)
+    (state, ror, nacc, natt_pair, _), _ = jax.lax.scan(
+        body, (state, ror0, zero, zero, jnp.asarray(0)), keys
     )
+    state = _permute(state, ror)  # rung-ordered return, as documented
     confs = (
         split_ops.unpack_qmc(sl, *state) if use_split else state
     )

@@ -489,3 +489,65 @@ class TestTrotterShardedSW:
         mesh = make_mesh(replica=4)
         with pytest.raises(ValueError, match="divide"):
             trotter.anneal_sw_sharded(prob, a, b, 1.0 / 6, confs, key, mesh)
+
+
+class TestRungShardedPT:
+    """Parallel tempering shards over rungs with NO sharding-specific
+    code: exchanges permute temperature labels (an (M,) map), never the
+    state arrays, so GSPMD needs only the (M,) energy gather of the
+    exchange test. Bitwise vs single device."""
+
+    def test_pt_sample_split_engine_bitwise(self, rng, eight_devices):
+        from montecarlosolvers_tpu.solvers import pt
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        temps = pt.geometric_ladder(0.5, 3.0, 8)
+        key = jax.random.key(8)
+        s0 = sa.random_state(key, prob.nspins, batch=(8,))
+        ref, rate_ref, es_ref = pt.sample(
+            prob, temps, s0, key, 60, swap_every=2, collect_energy=True
+        )
+        mesh = make_mesh(chains=8)
+        out, rate, es = pt.sample(
+            prob, temps, shard_chains(s0, mesh), key, 60, swap_every=2,
+            collect_energy=True,
+        )
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert np.array_equal(np.asarray(es_ref), np.asarray(es))
+        assert float(rate_ref) == float(rate)
+
+    def test_pt_sample_generic_engine_bitwise(self, rng, eight_devices):
+        from montecarlosolvers_tpu.solvers import pt
+
+        prob, _ = instances.random_2d_lattice(3, rng=rng)  # odd L: generic
+        temps = pt.geometric_ladder(0.5, 3.0, 8)
+        key = jax.random.key(9)
+        s0 = sa.random_state(key, prob.nspins, batch=(8,))
+        ref, rate_ref = pt.sample(prob, temps, s0, key, 40, swap_every=2)
+        mesh = make_mesh(chains=8)
+        out, rate = pt.sample(
+            prob, temps, shard_chains(s0, mesh), key, 40, swap_every=2
+        )
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert float(rate_ref) == float(rate)
+
+    def test_sample_piqmc_split_engine_bitwise(self, rng, eight_devices):
+        from montecarlosolvers_tpu.solvers import pt
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        gammas = jnp.geomspace(2.0, 0.3, 8)
+        key = jax.random.key(10)
+        confs0 = jnp.where(
+            jax.random.bernoulli(key, 0.5, (8, 4, prob.nspins)), 1.0, -1.0
+        )
+        ref, rate_ref = pt.sample_piqmc(
+            prob, gammas, 0.5, confs0, key, 40, swap_every=2,
+            global_moves=True,
+        )
+        mesh = make_mesh(chains=8)
+        out, rate = pt.sample_piqmc(
+            prob, gammas, 0.5, shard_chains(confs0, mesh), key, 40,
+            swap_every=2, global_moves=True,
+        )
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert float(rate_ref) == float(rate)
