@@ -90,9 +90,11 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 + alpha (optional bath bonds), local_sweeps=True.
       "svmc"  — spin-vector MC with TF proposals; kw: field_start=3.0,
                 temp=0.05.
-      "pt"    — parallel tempering; kw: t_min=0.1, t_max=3.0, ladder=16
-                (num_reads independent ladders are run; the coldest rung
-                of each is returned).
+      "pt"    — parallel tempering; kw: t_min=0.1, t_max=3.0, ladder=None
+                (auto-sized so adjacent rungs overlap: rung ratio - 1
+                ~ 2.5/sqrt(N), targeting a 20-60% swap rate; pass an int
+                to override). num_reads independent ladders are run; the
+                coldest rung of each is returned.
     """
     if method not in _METHOD_KW:
         raise ValueError(f"unknown method: {method}")
@@ -186,9 +188,19 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         return _finalize(problem, svmc_mod.z_projection(out), info)
 
     # method == "pt"
-    ladder = kw.get("ladder", 16)
-    temps = pt_mod.geometric_ladder(kw.get("t_min", 0.1),
-                                    kw.get("t_max", 3.0), ladder)
+    t_min, t_max = kw.get("t_min", 0.1), kw.get("t_max", 3.0)
+    ladder = kw.get("ladder")
+    if ladder is None:
+        # adjacent-rung exchange needs the rung ratio - 1 to scale like
+        # 1/sqrt(N) (energy distributions must overlap; see
+        # pt.geometric_ladder). Measured anchor: 48 rungs over [0.5, 2.5]
+        # at N = 6400 gives swap rate 0.34 -> c ~ 2.5 targets the 20-60%
+        # band. A fixed rung count collapses to ~0 exchange at large N.
+        ladder = max(4, int(np.ceil(
+            np.log(t_max / t_min) * np.sqrt(n) / 2.5
+        )) + 1)
+        info["ladder"] = ladder
+    temps = pt_mod.geometric_ladder(t_min, t_max, ladder)
     k_init, k_run = jax.random.split(key)
     keys = jax.random.split(k_run, num_reads)
     states = sa_mod.random_state(k_init, n, batch=(num_reads, ladder))

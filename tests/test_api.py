@@ -157,3 +157,16 @@ class TestClassicalClusterMethods:
                     local_sweeps=False)
         # FM ground state energy: -2 * N (each of the 2N bonds at -1)
         assert res.energies[0] <= -2 * 36 + 1e-3
+
+
+class TestPTAutoLadder:
+    def test_auto_ladder_scales_with_n_and_exchanges(self, prob):
+        res = solve(prob, method="pt", num_reads=4, sweeps=300, seed=3)
+        # auto-sized ladder recorded and sqrt(N)-scaled: N=16 ->
+        # ceil(ln(30) * 4 / 2.5) + 1 = 7
+        assert res.info["ladder"] == 7
+        assert res.info["mean_swap_rate"] > 0.1
+        # explicit override still respected (no ladder key in info)
+        res2 = solve(prob, method="pt", num_reads=4, sweeps=50, seed=3,
+                     ladder=5)
+        assert "ladder" not in res2.info
