@@ -147,6 +147,67 @@ def sampling_arms(problem, e_gs, key, done, record):
         record(f"sampling_quench_equalwall_s{sweeps_eq}", arm_quench_eq)
 
 
+def icm_arms(problem, e_gs, key, done, record):
+    """Isoenergetic cluster moves (Houdayer + PT, pt.sample_icm) vs plain
+    PT at the same total sweep budget: ICM runs 2 ladders x RUNGS rungs x
+    SWEEPS/2 sweeps = the PT arms' RUNGS x SWEEPS sweeps, plus one
+    Houdayer phase per 2 sweeps. The literature claim (Zhu-Ochoa-
+    Katzgraber 2015) is that the overlap-domain cluster flips tunnel
+    between the valleys that trap both quenched dynamics AND plain PT on
+    spin glasses."""
+    S = SWEEPS // 2
+    k_init, k_tune, k_s, k_o = jax.random.split(key, 4)
+    s0 = sa.random_state(k_init, problem.nspins, batch=(2, RUNGS))
+
+    temps0 = pt.geometric_ladder(T_COLD, T_HOT, RUNGS)
+    temps, _ = pt.tune_ladder(
+        problem, temps0, k_tune, rounds=3, sweeps_per_round=200
+    )
+
+    def arm_sampling():
+        def run(seed):
+            return pt.sample_icm(
+                problem, temps, s0, jax.random.fold_in(k_s, seed), S,
+                swap_every=2, houdayer_every=2, collect_energy=True,
+            )
+
+        (_, rate, hfrac, es), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(es)  # (S, 2, M); rung 0 is T_cold
+        e_cold = float(es[S // 2:, :, 0].mean())
+        return dict(
+            eps_cold=float((e_cold - e_gs) / problem.nspins),
+            swap_rate=float(rate),
+            houdayer_flip_frac=float(hfrac),
+            wall_s=wall,
+            total_sweeps=2 * RUNGS * S,
+        )
+
+    temps_o0 = pt.geometric_ladder(0.3, T_HOT, RUNGS)
+    temps_o, _ = pt.tune_ladder(
+        problem, temps_o0, jax.random.fold_in(k_tune, 1), rounds=3,
+        sweeps_per_round=200,
+    )
+
+    def arm_opt():
+        def run(seed):
+            return pt.sample_icm(
+                problem, temps_o, s0, jax.random.fold_in(k_o, seed), S,
+                swap_every=2, houdayer_every=2,
+            )
+
+        (states, rate, hfrac), wall = _timed(lambda seed: run(seed))
+        e_min = float(np.asarray(problem.energy(states)).min())
+        return dict(
+            eps_best=float((e_min - e_gs) / problem.nspins),
+            swap_rate=float(rate),
+            houdayer_flip_frac=float(hfrac),
+            wall_s=wall,
+        )
+
+    record("sampling_icm", arm_sampling)
+    record("opt_icm", arm_opt)
+
+
 def optimization_arms(problem, e_gs, key, done, record):
     """Best energy found: PT vs SA restarts at equal wall-clock."""
     k_init, k_tune, k_pt, k_sa = jax.random.split(key, 4)
@@ -294,10 +355,11 @@ def main(outdir="results/pt_value", budget_s=1500):
         print(f"{name}: {out}", flush=True)
         return out
 
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     sampling_arms(problem, e_gs, k1, done, record)
     optimization_arms(problem, e_gs, k2, done, record)
     quantum_arms(problem, e_gs, k3, done, record)
+    icm_arms(problem, e_gs, k4, done, record)
     print(json.dumps(done, indent=2))
     return done
 

@@ -575,6 +575,46 @@ def classical_sw_sweep(problem, s, key, temp):
     return jnp.where(flip, -s, s)
 
 
+def houdayer_sweep(problem, s1, s2, key):
+    """Isoenergetic (Houdayer) cluster move between two replicas sampled
+    at the SAME temperature — the replica-cluster update the spin-glass
+    literature adopted after ferromagnet-style FK clusters were shown to
+    percolate on frustrated instances (measured for this framework in
+    results/cluster_value; Houdayer 2001, and the ICM scheme of
+    Zhu-Ochoa-Katzgraber 2015 when mixed into parallel tempering).
+
+    Construction: q_i = s1_i * s2_i; the q = -1 domain is cut into
+    connected components over the problem's adjacency (bonds are NOT
+    probabilistic — any nonzero coupling with both endpoints in the
+    domain links them), and every component flips in BOTH replicas with
+    an independent fair coin. Each component flip exchanges energy
+    between the replicas exactly (every boundary bond and every field
+    term satisfies dE1 = -dE2, because q = +1 outside the component and
+    s2 = -s1 inside), so the move is rejection-free for the product
+    measure at equal temperatures, and it leaves q — hence the component
+    structure itself — invariant. This is the full Swendsen-Wang form of
+    Houdayer's single-cluster move: flips of distinct components are
+    independent (components are never adjacent through q = -1 sites), so
+    coin-flipping all of them at once is also exact, updates every
+    domain for one labeling, and reuses the same min-label relax as the
+    classical SW engine.
+
+    problem: generic IsingProblem (LatticeProblems: convert via
+      to_generic, as solvers.sa.anneal_sw does).
+    s1, s2: (N,) float +/-1 — vmap over leading axes for rung ladders.
+    Returns (s1', s2', flipped (N,) bool).
+    """
+    q_neg = (s1 * s2) < 0  # (N,)
+    adj = problem.nbr_J != 0.0  # (N, maxnb); pad slots carry J = 0
+    active = (
+        adj & q_neg[:, None] & jnp.take(q_neg, problem.nbr_idx, axis=0)
+    )
+    labels = _label_components(active, problem.nbr_idx)
+    coins = jax.random.bernoulli(key, 0.5, (problem.nspins,))
+    flip = q_neg & jnp.take(coins, labels, axis=0)
+    return jnp.where(flip, -s1, s1), jnp.where(flip, -s2, s2), flip
+
+
 def _seg_min_scan(vals, link_prev, axis):
     """Per-site min over its maximal connected run along `axis`
     (circular). link_prev[..., c] True means site c is connected to site

@@ -299,6 +299,160 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
     return confs, swap_rate
 
 
+def sample_icm(problem, temps, states, key, nsweeps, swap_every=1,
+               houdayer_every=2, collect_energy=False, per_pair_rates=False):
+    """Isoenergetic cluster moves + parallel tempering (ICM,
+    Zhu-Ochoa-Katzgraber 2015): TWO independent PT ladders run side by
+    side, and every `houdayer_every` sweeps the same-rung replica pair
+    exchanges energy through rejection-free Houdayer cluster flips
+    (ops/cluster.houdayer_sweep — every q = -1 overlap domain coin-flips
+    in both replicas). This is the cluster move that DOES work on spin
+    glasses: the flipped domains live where the two replicas disagree,
+    so they never suffer the FK percolation failure measured in
+    results/cluster_value.
+
+    Args:
+      problem: LatticeProblem or generic IsingProblem (dense problems are
+        not supported — on a complete graph the overlap domain is one
+        component and the move degenerates to a global flip).
+      temps: (M,) temperature ladder.
+      states: (2, M, N) — one configuration per ladder per rung.
+      houdayer_every: cluster-move cadence (sweeps).
+
+    Returns:
+      (states (2, M, N) rung-ordered, swap_rate, houdayer_flip_frac
+       [, energies (nsweeps, 2, M)][, pair_rates (M-1,), mean of ladders]).
+    """
+    from montecarlosolvers_tpu.models.dense import DenseProblem
+    from montecarlosolvers_tpu.ops import split as split_ops
+
+    if isinstance(problem, DenseProblem):
+        raise ValueError("sample_icm needs a sparse/lattice problem")
+    gp = problem.to_generic() if hasattr(problem, "j_right") else problem
+    return _icm_impl(
+        problem, gp, jnp.asarray(temps), states, key, int(nsweeps),
+        int(swap_every), int(houdayer_every), bool(collect_energy),
+        bool(per_pair_rates), split_ops.supports_split(problem),
+    )
+
+
+@partial(jax.jit, static_argnames=("nsweeps", "swap_every", "houdayer_every",
+                                   "collect_energy", "per_pair_rates",
+                                   "use_split"))
+def _icm_impl(problem, gp, temps, states, key, nsweeps, swap_every,
+              houdayer_every, collect_energy, per_pair_rates, use_split):
+    from montecarlosolvers_tpu.ops import split as split_ops
+    from montecarlosolvers_tpu.ops.cluster import houdayer_sweep
+
+    M = temps.shape[0]
+    keys = jax.random.split(key, nsweeps)
+    idx = jnp.arange(M)
+    beta = 1.0 / temps
+    nxt = jnp.clip(idx + 1, 0, M - 1)
+
+    if use_split:
+        sl = split_ops.build_split(problem)
+        state = split_ops.pack_classical(sl, states)  # halves (2, M, Nh)
+
+        def _sweep(state, k, t_rep):
+            return split_ops.sa_split_sweep(sl, *state, k, t_rep[..., None])
+
+        def _energy(state):
+            return split_ops.classical_energy_split(sl, *state)  # (2, M)
+
+        def _unpack(state):
+            return split_ops.unpack_classical(sl, *state)
+
+        def _pack(full):
+            return split_ops.pack_classical(sl, full)
+    else:
+        state = states
+
+        def _sweep(states, k, t_rep):
+            return colored_metropolis_sweep(gp, states, k, t_rep[..., None])
+
+        _energy = gp.energy
+
+        def _unpack(states):
+            return states
+
+        _pack = _unpack
+
+    def _inv(ror):  # (2, M) replica_of_rung -> rung_of_replica
+        return jax.vmap(
+            lambda r: jnp.zeros((M,), jnp.int32).at[r].set(
+                idx.astype(jnp.int32)
+            )
+        )(ror)
+
+    def body(carry, k):
+        state, ror, nacc, natt_pair, h_sum, h_cnt, natt = carry
+        k1, k2, k3 = jax.random.split(k, 3)
+        labels = _inv(ror)  # (2, M)
+        state = _sweep(state, k1, temps[labels])
+        i = natt
+        do_swap = (i % swap_every) == 0
+        parity = (i // swap_every) % 2
+
+        def with_swap(ror):
+            e_rung = jnp.take_along_axis(_energy(state), ror, axis=1)
+            delta = (beta - beta[nxt])[None] * (e_rung - e_rung[:, nxt])
+            perms, accs = jax.vmap(
+                lambda d, kk: _exchange_perm(kk, parity, -d, 1.0)
+            )(delta, jax.random.split(k2, 2))
+            return jnp.take_along_axis(ror, perms, axis=1), accs
+
+        ror, acc = jax.lax.cond(
+            do_swap, with_swap,
+            lambda r: (r, jnp.zeros((2, M), bool)), ror,
+        )
+
+        do_h = (i % houdayer_every) == 0
+
+        def with_h(state):
+            full = _unpack(state)  # (2, M, N)
+            r1 = full[0][ror[0]]  # rung-aligned pairs
+            r2 = full[1][ror[1]]
+            r1n, r2n, flips = jax.vmap(
+                lambda a, c, kk: houdayer_sweep(gp, a, c, kk)
+            )(r1, r2, jax.random.split(k3, M))
+            lab = _inv(ror)
+            full = jnp.stack([r1n[lab[0]], r2n[lab[1]]])
+            return _pack(full), flips.mean()
+
+        state, hfrac = jax.lax.cond(
+            do_h, with_h, lambda s: (s, jnp.float32(0.0)), state,
+        )
+        attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
+        e = (
+            jnp.take_along_axis(_energy(state), ror, axis=1)
+            if collect_energy else None
+        )
+        return (
+            state, ror, nacc + acc, natt_pair + attempted,
+            h_sum + hfrac, h_cnt + do_h.astype(jnp.int32), natt + 1,
+        ), e
+
+    zero = jnp.zeros((M,), jnp.int32)
+    ror0 = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (2, M))
+    (state, ror, nacc, natt_pair, h_sum, h_cnt, _), es = jax.lax.scan(
+        body,
+        (state, ror0, jnp.zeros((2, M), jnp.int32), zero,
+         jnp.float32(0.0), jnp.asarray(0, jnp.int32), jnp.asarray(0)),
+        keys,
+    )
+    full = _unpack(state)
+    states = jnp.stack([full[0][ror[0]], full[1][ror[1]]])
+    swap_rate = nacc.sum() / jnp.maximum(2 * natt_pair.sum(), 1)
+    h_frac = h_sum / jnp.maximum(h_cnt, 1)
+    out = (states, swap_rate, h_frac)
+    if collect_energy:
+        out = out + (es,)
+    if per_pair_rates:
+        out = out + ((nacc.sum(0) / jnp.maximum(2 * natt_pair, 1))[:-1],)
+    return out
+
+
 def tune_ladder(problem, temps, key, rounds=4, sweeps_per_round=200,
                 floor=0.02):
     """Equalize adjacent-rung swap rates by redistributing rungs along the

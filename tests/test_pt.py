@@ -248,3 +248,90 @@ class TestSamplePiqmcSplitEngine:
             emp = es[:, k].mean()
             se = es[:, k].std() / np.sqrt(len(es) / 20.0)
             assert abs(emp - exact) < max(5.0 * se, 0.1), (k, t, emp, exact)
+
+
+class TestICM:
+    """Isoenergetic cluster moves (Houdayer) + PT."""
+
+    def test_houdayer_preserves_pair_energy_and_overlap(self, rng):
+        from montecarlosolvers_tpu.ops.cluster import houdayer_sweep
+
+        prob, _ = instances.random_2d_lattice(5, rng=rng,
+                                              with_fields=True)
+        key = jax.random.key(0)
+        for seed in range(6):
+            k1, k2, k3 = jax.random.split(jax.random.fold_in(key, seed), 3)
+            s1 = sa.random_state(k1, prob.nspins)
+            s2 = sa.random_state(k2, prob.nspins)
+            o1, o2, flip = houdayer_sweep(prob, s1, s2, k3)
+            e_before = float(prob.energy(s1) + prob.energy(s2))
+            e_after = float(prob.energy(o1) + prob.energy(o2))
+            # rejection-free isoenergy: dE1 = -dE2 exactly
+            np.testing.assert_allclose(e_after, e_before, rtol=1e-5)
+            # q invariant (flips act on both replicas)
+            assert np.array_equal(
+                np.asarray(s1 * s2), np.asarray(o1 * o2)
+            )
+            # flips confined to the q = -1 domain
+            assert not np.any(np.asarray(flip) & (np.asarray(s1 * s2) > 0))
+
+    def test_icm_marginals_match_gibbs(self, rng):
+        """Both ladders of sample_icm must still sample each rung's exact
+        Gibbs measure — Houdayer moves must not bias the product
+        ensemble."""
+        rows = np.array([0, 1, 0, 0, 2])
+        cols = np.array([1, 2, 2, 0, 2])
+        vals = np.array([1.0, -0.8, 0.6, 0.4, -0.3])
+        prob = IsingProblem.from_edges(3, rows, cols, vals, maxnb=4)
+        temps = jnp.asarray([0.7, 1.4, 3.0])
+        key = jax.random.key(0)
+        states = sa.random_state(key, 3, batch=(2, 3))
+        nsweeps, burn = 25000, 3000
+        out, rate, hfrac, es = pt.sample_icm(
+            prob, temps, states, key, nsweeps, swap_every=2,
+            houdayer_every=2, collect_energy=True,
+        )
+        es = np.asarray(es)[burn:]  # (T, 2, M)
+        assert float(rate) > 0.05, "no replica exchange happening"
+        assert 0.0 < float(hfrac) < 1.0, "no Houdayer flips happening"
+        for ladder in range(2):
+            for k, t in enumerate(np.asarray(temps)):
+                exact = _exact_mean_energy(prob, t)
+                emp = es[:, ladder, k].mean()
+                assert abs(emp - exact) < 0.05, (ladder, k, t, emp, exact)
+
+    def test_icm_split_engine_finds_ground_state(self, rng):
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        e_gs, _ = brute_force_ground(prob.to_generic())
+        temps = pt.geometric_ladder(0.1, 3.0, 8)
+        key = jax.random.key(1)
+        states = sa.random_state(key, 16, batch=(2, 8))
+        out, rate, hfrac = pt.sample_icm(prob, temps, states, key, 800,
+                                         houdayer_every=4)
+        assert out.shape == (2, 8, 16)
+        assert set(np.unique(np.asarray(out))) <= {-1.0, 1.0}
+        best = float(np.asarray(prob.energy(out)).min())
+        assert np.isclose(best, e_gs, atol=1e-3), (best, e_gs)
+
+    def test_icm_rung_sharded_bitwise(self, rng):
+        if len(jax.devices()) < 8:
+            import pytest as _pytest
+            _pytest.skip("needs 8 virtual devices")
+        from montecarlosolvers_tpu.parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        temps = pt.geometric_ladder(0.5, 3.0, 8)
+        key = jax.random.key(2)
+        states = sa.random_state(key, 16, batch=(2, 8))
+        ref, rate_ref, h_ref = pt.sample_icm(prob, temps, states, key, 40,
+                                             houdayer_every=2)
+        mesh = make_mesh(chains=8)
+        sharded = jax.device_put(
+            states, NamedSharding(mesh, P(None, "chains", None))
+        )
+        out, rate, h = pt.sample_icm(prob, temps, sharded, key, 40,
+                                     houdayer_every=2)
+        assert np.array_equal(np.asarray(ref), np.asarray(out))
+        assert float(rate_ref) == float(rate)
+        assert float(h_ref) == float(h)

@@ -75,3 +75,16 @@ def test_quantum_arms_run(tiny):
     assert any(k.startswith("quantum_piqmc_equalwall") for k in rec)
     for arm in rec.values():
         assert np.isfinite(arm["eps_best"])
+
+
+def test_icm_arms_record_shape(tiny):
+    problem, e_gs = tiny
+    rec, record = _recorder()
+    pv.icm_arms(problem, e_gs, jax.random.key(4), rec, record)
+    for name in ("sampling_icm", "opt_icm"):
+        arm = rec[name]
+        assert 0.0 <= arm["houdayer_flip_frac"] <= 1.0
+        assert 0.0 <= arm["swap_rate"] <= 1.0
+        assert arm["wall_s"] > 0
+    assert np.isfinite(rec["sampling_icm"]["eps_cold"])
+    assert np.isfinite(rec["opt_icm"]["eps_best"])
