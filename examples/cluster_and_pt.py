@@ -60,7 +60,9 @@ def main():
 
     problem, e_gs = instances.santoro_80x80()
     key = jax.random.key(7)
-    k_sa, k_w, k_sw, k_qsw, k_tune, k_pt, k_qpt = jax.random.split(key, 7)
+    k_sa, k_w, k_sw, k_qsw, k_tune, k_pt, k_qpt, k_icm = (
+        jax.random.split(key, 8)
+    )
 
     sched = schedules.linear(3.0, 0.0, args.tau)
     s0 = sa.random_state(key, problem.nspins, batch=(args.chains,))
@@ -99,6 +101,17 @@ def main():
           f"{float(swap_rate):.2f} (tuned pair rates "
           f"{np.min(pair_rates):.2f}..{np.max(pair_rates):.2f}), coldest "
           f"eps_res = {(e_cold - e_gs) / problem.nspins:.4f}")
+
+    # --- ICM: PT + Houdayer overlap-domain cluster moves -----------------
+    pair0 = sa.random_state(k_icm, problem.nspins, batch=(2, args.rungs))
+    pair, icm_rate, hfrac = pt.sample_icm(
+        problem, temps, pair0, k_icm, args.pt_sweeps // 2,
+        swap_every=2, houdayer_every=2,
+    )
+    e_icm = float(np.asarray(problem.energy(pair)).min())
+    print(f"ICM (2 ladders + Houdayer): swap rate {float(icm_rate):.2f}, "
+          f"flip frac {float(hfrac):.2f}, coldest "
+          f"eps_res = {(e_icm - e_gs) / problem.nspins:.4f}")
 
     # --- quantum PT along the Gamma ladder at fixed T --------------------
     gammas = jnp.linspace(1.5, 0.3, args.rungs)

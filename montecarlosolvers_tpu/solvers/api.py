@@ -64,7 +64,19 @@ _METHOD_KW = {
                       "local_sweeps"},
     "svmc": {"field_start", "temp"},
     "pt": {"t_min", "t_max", "ladder"},
+    "icm": {"t_min", "t_max", "ladder", "houdayer_every"},
 }
+
+
+def _auto_ladder(n, t_min, t_max):
+    """Rung count so adjacent rungs' energy distributions overlap: rung
+    ratio - 1 must scale like 1/sqrt(N) (see pt.geometric_ladder).
+    Measured anchor: 48 rungs over [0.5, 2.5] at N = 6400 gives swap
+    rate 0.34 -> c ~ 2.5 targets the 20-60% band. A fixed rung count
+    collapses to ~0 exchange at large N."""
+    return max(4, int(np.ceil(
+        np.log(t_max / t_min) * np.sqrt(n) / 2.5
+    )) + 1)
 
 
 def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
@@ -95,6 +107,10 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 ~ 2.5/sqrt(N), targeting a 20-60% swap rate; pass an int
                 to override). num_reads independent ladders are run; the
                 coldest rung of each is returned.
+      "icm"   — parallel tempering with isoenergetic (Houdayer) cluster
+                moves between paired ladders (pt.sample_icm); kw: pt's +
+                houdayer_every=2. Sparse/lattice problems only; best on
+                frustrated instances where plain PT stalls.
     """
     if method not in _METHOD_KW:
         raise ValueError(f"unknown method: {method}")
@@ -187,20 +203,32 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                               kw.get("temp", 0.05), th, k_run, tf=True)
         return _finalize(problem, svmc_mod.z_projection(out), info)
 
-    # method == "pt"
     t_min, t_max = kw.get("t_min", 0.1), kw.get("t_max", 3.0)
     ladder = kw.get("ladder")
     if ladder is None:
-        # adjacent-rung exchange needs the rung ratio - 1 to scale like
-        # 1/sqrt(N) (energy distributions must overlap; see
-        # pt.geometric_ladder). Measured anchor: 48 rungs over [0.5, 2.5]
-        # at N = 6400 gives swap rate 0.34 -> c ~ 2.5 targets the 20-60%
-        # band. A fixed rung count collapses to ~0 exchange at large N.
-        ladder = max(4, int(np.ceil(
-            np.log(t_max / t_min) * np.sqrt(n) / 2.5
-        )) + 1)
+        ladder = _auto_ladder(n, t_min, t_max)
         info["ladder"] = ladder
     temps = pt_mod.geometric_ladder(t_min, t_max, ladder)
+
+    if method == "icm":
+        # each read is ONE ladder of an ICM pair: run ceil(reads/2)
+        # two-ladder runs, return every ladder's coldest rung
+        pairs = (num_reads + 1) // 2
+        k_init, k_run = jax.random.split(key)
+        keys = jax.random.split(k_run, pairs)
+        states = sa_mod.random_state(k_init, n, batch=(pairs, 2, ladder))
+        outs, rates, hfracs = jax.vmap(
+            lambda s, k: pt_mod.sample_icm(
+                problem, temps, s, k, sweeps, swap_every=2,
+                houdayer_every=kw.get("houdayer_every", 2),
+            )
+        )(states, keys)
+        info["mean_swap_rate"] = float(np.asarray(rates).mean())
+        info["houdayer_flip_frac"] = float(np.asarray(hfracs).mean())
+        cold = np.asarray(outs)[:, :, 0].reshape(2 * pairs, n)
+        return _finalize(problem, cold[:num_reads], info)
+
+    # method == "pt"
     k_init, k_run = jax.random.split(key)
     keys = jax.random.split(k_run, num_reads)
     states = sa_mod.random_state(k_init, n, batch=(num_reads, ladder))

@@ -170,3 +170,14 @@ class TestPTAutoLadder:
         res2 = solve(prob, method="pt", num_reads=4, sweeps=50, seed=3,
                      ladder=5)
         assert "ladder" not in res2.info
+
+
+class TestICMMethod:
+    def test_icm_reaches_ground_state_and_records_rates(self, prob):
+        e_gs, _ = brute_force_ground(prob)
+        res = solve(prob, method="icm", num_reads=5, sweeps=400, seed=2,
+                    ladder=6, houdayer_every=2)
+        assert len(res) == 5  # odd num_reads from ladder pairs
+        assert res.best_energy <= e_gs + 1e-3
+        assert res.info["mean_swap_rate"] > 0.05
+        assert 0.0 < res.info["houdayer_flip_frac"] < 1.0
