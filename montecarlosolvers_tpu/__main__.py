@@ -39,7 +39,7 @@ def main(argv=None):
     sp = sub.add_parser("solve", help="anneal an instance file")
     sp.add_argument("instance")
     sp.add_argument("--method", default="sa",
-                    choices=["sa", "piqmc", "svmc", "pt", "icm"])
+                    choices=["sa", "piqmc", "svmc", "pt", "icm", "pa"])
     sp.add_argument("--num-reads", type=int, default=64)
     sp.add_argument("--sweeps", type=int, default=1000)
     sp.add_argument("--seed", type=int, default=0)

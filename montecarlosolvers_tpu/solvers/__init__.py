@@ -1,3 +1,3 @@
-from montecarlosolvers_tpu.solvers import sa, qmc, svmc, pt
+from montecarlosolvers_tpu.solvers import sa, qmc, svmc, pt, pa
 
-__all__ = ["sa", "qmc", "svmc", "pt"]
+__all__ = ["sa", "qmc", "svmc", "pt", "pa"]

@@ -65,6 +65,7 @@ _METHOD_KW = {
     "svmc": {"field_start", "temp"},
     "pt": {"t_min", "t_max", "ladder"},
     "icm": {"t_min", "t_max", "ladder", "houdayer_every"},
+    "pa": {"beta_end", "mcsteps", "ess_threshold"},
 }
 
 
@@ -111,6 +112,12 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 moves between paired ladders (pt.sample_icm); kw: pt's +
                 houdayer_every=2. Sparse/lattice problems only; best on
                 frustrated instances where plain PT stalls.
+      "pa"    — population annealing (pa.sample): num_reads is the
+                population size, annealed down a beta-linear schedule
+                from beta=0 (uniform random = exact equilibrium) with
+                per-step resampling; kw: beta_end=10.0, mcsteps=1,
+                ess_threshold=1.0. info carries the absolute ln Z
+                estimate and the minimum ESS fraction.
     """
     if method not in _METHOD_KW:
         raise ValueError(f"unknown method: {method}")
@@ -202,6 +209,22 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         out = svmc_mod.anneal(problem, a, jnp.ones_like(a),
                               kw.get("temp", 0.05), th, k_run, tf=True)
         return _finalize(problem, svmc_mod.z_projection(out), info)
+
+    if method == "pa":
+        from montecarlosolvers_tpu.solvers import pa as pa_mod
+
+        k_init, k_run = jax.random.split(key)
+        temps = pa_mod.beta_linear(kw.get("beta_end", 10.0), sweeps,
+                                   beta_start=0.0)
+        states = sa_mod.random_state(k_init, n, batch=(num_reads,))
+        out, log_z, stats = pa_mod.sample(
+            problem, temps, states, k_run,
+            mcsteps=kw.get("mcsteps", 1), beta0=0.0,
+            ess_threshold=kw.get("ess_threshold", 1.0), collect_stats=True,
+        )
+        info["log_z"] = float(log_z) + pa_mod.uniform_log_z(n)
+        info["min_ess_frac"] = float(np.asarray(stats["ess"]).min()) / num_reads
+        return _finalize(problem, out, info)
 
     t_min, t_max = kw.get("t_min", 0.1), kw.get("t_max", 3.0)
     ladder = kw.get("ladder")

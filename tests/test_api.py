@@ -181,3 +181,23 @@ class TestICMMethod:
         assert res.best_energy <= e_gs + 1e-3
         assert res.info["mean_swap_rate"] > 0.05
         assert 0.0 < res.info["houdayer_flip_frac"] < 1.0
+
+
+class TestPAMethod:
+    def test_pa_reaches_ground_state_and_records_log_z(self, prob):
+        e_gs, _ = brute_force_ground(prob)
+        res = solve(prob, method="pa", num_reads=256, sweeps=150, seed=4,
+                    beta_end=6.0, mcsteps=2)
+        assert len(res) == 256
+        assert res.best_energy <= e_gs + 1e-3
+        # absolute free energy: at beta=6 on a small gapped instance,
+        # ln Z ~ -beta*E_gs + ln(degeneracy); a generous sanity band
+        assert res.info["log_z"] > -6.0 * e_gs - 5.0
+        assert res.info["log_z"] < -6.0 * e_gs + prob.nspins
+        assert 0.0 < res.info["min_ess_frac"] <= 1.0
+
+    def test_pa_rejects_unknown_kw(self, prob):
+        import pytest
+
+        with pytest.raises(TypeError):
+            solve(prob, method="pa", t_min=0.1)

@@ -1,0 +1,189 @@
+"""Population annealing: the resampled ensemble must track the exact
+Gibbs distribution along the whole schedule, and the weight normalizers
+must accumulate to the exact free-energy difference ln[Z(b_end)/Z(b_0)]
+(the estimator PA gets for free — Machta 2010)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.models.ising import IsingProblem
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.solvers import pa, sa
+from tests.test_sa import brute_force_ground
+
+
+def _small_problem():
+    rows = np.array([0, 1, 2, 3, 0, 1, 0, 4, 5])
+    cols = np.array([1, 2, 3, 0, 2, 3, 3, 5, 0])
+    vals = np.array([1.0, -0.8, 0.6, 0.4, -0.3, 0.9, -0.5, 0.7, -0.6])
+    return IsingProblem.from_edges(6, rows, cols, vals, maxnb=6)
+
+
+def _exact_log_z(prob, beta):
+    n = prob.nspins
+    states = (((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1) * 2 - 1
+              ).astype(np.float32)
+    es = np.asarray(prob.energy(jnp.asarray(states))).astype(np.float64)
+    m = (-beta * es).max()
+    return float(m + np.log(np.exp(-beta * es - m).sum()))
+
+
+def _exact_mean_energy(prob, temp):
+    n = prob.nspins
+    states = (((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1) * 2 - 1
+              ).astype(np.float32)
+    es = np.asarray(prob.energy(jnp.asarray(states))).astype(np.float64)
+    w = np.exp(-(es - es.min()) / temp)
+    return float((w * es).sum() / w.sum())
+
+
+class TestResampling:
+    def test_systematic_equal_weights_is_identity(self):
+        w = jnp.full((16,), 1.0 / 16)
+        idx = pa._systematic_indices(jax.random.key(0), w)
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+
+    def test_systematic_counts_match_weights(self):
+        w = jnp.asarray([0.5, 0.25, 0.125, 0.125])
+        counts = np.zeros(4)
+        for s in range(200):
+            i = np.asarray(pa._systematic_indices(jax.random.key(s), w))
+            counts += np.bincount(i, minlength=4)
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(freq, np.asarray(w), atol=0.02)
+
+
+class TestFreeEnergy:
+    def test_log_z_matches_exact_enumeration(self):
+        prob = _small_problem()
+        beta_end = 1.5
+        temps = pa.beta_linear(beta_end, 60, beta_start=0.0)
+        r = 4096
+        states = sa.random_state(jax.random.key(0), prob.nspins, batch=(r,))
+        out, log_z = pa.sample(prob, temps, states, jax.random.key(1),
+                               mcsteps=2, beta0=0.0)
+        est = float(log_z) + pa.uniform_log_z(prob.nspins)
+        exact = _exact_log_z(prob, beta_end)
+        assert abs(est - exact) < 0.05, (est, exact)
+
+    def test_log_z_relative_default_beta0(self):
+        """Default beta0 = 1/temps[0]: log_z estimates the RATIO
+        ln Z(b_end)/Z(b_0), after equilibrating the init at temps[0]."""
+        prob = _small_problem()
+        b0, b1 = 0.4, 1.2
+        temps = pa.beta_linear(b1, 50, beta_start=b0)
+        r = 4096
+        states = sa.random_state(jax.random.key(2), prob.nspins, batch=(r,))
+        # equilibrate at 1/b0 first (default beta0 assumes this)
+        states = sa.anneal(prob, jnp.full((300,), 1.0 / b0), states,
+                           jax.random.key(3))
+        out, log_z = pa.sample(prob, temps, states, jax.random.key(4),
+                               mcsteps=2)
+        exact = _exact_log_z(prob, b1) - _exact_log_z(prob, b0)
+        assert abs(float(log_z) - exact) < 0.05, (float(log_z), exact)
+
+    def test_ess_threshold_accumulation_still_unbiased(self):
+        prob = _small_problem()
+        beta_end = 2.0
+        # a COARSE beta grid (dbeta ~ 0.13): the weight random-walk decays
+        # ESS fast early and plateaus near 0.57 once sweeps decorrelate
+        # it, so a 0.7 threshold guarantees both resampled and
+        # accumulated steps
+        temps = pa.beta_linear(beta_end, 16, beta_start=0.0)
+        r = 4096
+        states = sa.random_state(jax.random.key(5), prob.nspins, batch=(r,))
+        out, log_z, stats = pa.sample(
+            prob, temps, states, jax.random.key(6), mcsteps=2, beta0=0.0,
+            ess_threshold=0.7, collect_stats=True,
+        )
+        # conditional resampling actually skipped some steps...
+        rs = np.asarray(stats["resampled"])
+        assert 0 < rs.sum() < rs.size
+        # ...without biasing the free-energy accumulator (coarse grid =
+        # larger estimator variance, hence the looser band)
+        est = float(log_z) + pa.uniform_log_z(prob.nspins)
+        exact = _exact_log_z(prob, beta_end)
+        assert abs(est - exact) < 0.15, (est, exact)
+
+
+class TestEnsemble:
+    def test_population_tracks_gibbs_mean_energy(self):
+        prob = _small_problem()
+        beta_end = 1.25
+        temps = pa.beta_linear(beta_end, 60, beta_start=0.0)
+        r = 4096
+        states = sa.random_state(jax.random.key(7), prob.nspins, batch=(r,))
+        out, log_z, stats = pa.sample(
+            prob, temps, states, jax.random.key(8), mcsteps=2, beta0=0.0,
+            collect_stats=True,
+        )
+        es = np.asarray(prob.energy(out))
+        exact = _exact_mean_energy(prob, 1.0 / beta_end)
+        # 4-sigma band on the population mean (replicas are correlated by
+        # resampling, so inflate the naive stderr by 4x)
+        tol = max(4.0 * 4.0 * es.std() / np.sqrt(r), 0.03)
+        assert abs(es.mean() - exact) < tol, (es.mean(), exact, tol)
+        assert np.asarray(stats["ess"]).min() > 0.2 * r
+
+    def test_split_engine_lattice_reaches_ground_state(self, rng):
+        prob, _ = instances.random_2d_lattice(4, rng=rng, lattice=True)
+        e_gs, _ = brute_force_ground(prob)
+        temps = pa.beta_linear(4.0, 120, beta_start=0.0)
+        states = sa.random_state(jax.random.key(9), prob.nspins, batch=(512,))
+        out, log_z = pa.sample(prob, temps, states, jax.random.key(10),
+                               mcsteps=2, beta0=0.0)
+        es = np.asarray(prob.energy(out))
+        assert np.isclose(es.min(), e_gs, atol=1e-3), (es.min(), e_gs)
+        # ground-state occupancy must match the EXACT Gibbs value at
+        # beta=4 (enumerated), not just be "large": the first excited
+        # state sits only ~0.13 above, so equilibrium occupancy is ~0.3
+        n = prob.nspins
+        all_states = (((np.arange(2 ** n)[:, None] >> np.arange(n)) & 1)
+                      * 2 - 1).astype(np.float32)
+        all_es = np.asarray(prob.energy(jnp.asarray(all_states))
+                            ).astype(np.float64)
+        w = np.exp(-4.0 * (all_es - all_es.min()))
+        p_gs_exact = w[np.isclose(all_es, e_gs, atol=1e-3)].sum() / w.sum()
+        p_gs_emp = (np.isclose(es, e_gs, atol=1e-3)).mean()
+        # 4-sigma binomial band, resampling correlation inflated 2x
+        tol = max(8.0 * np.sqrt(p_gs_exact * (1 - p_gs_exact) / es.size), 0.05)
+        assert abs(p_gs_emp - p_gs_exact) < tol, (p_gs_emp, p_gs_exact, tol)
+
+    def test_deterministic_given_key(self):
+        prob = _small_problem()
+        temps = pa.beta_linear(1.0, 20, beta_start=0.0)
+        states = sa.random_state(jax.random.key(11), prob.nspins, batch=(64,))
+        a1, z1 = pa.sample(prob, temps, states, jax.random.key(12), beta0=0.0)
+        a2, z2 = pa.sample(prob, temps, states, jax.random.key(12), beta0=0.0)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert float(z1) == float(z2)
+
+    def test_segmented_matches_single_dispatch(self):
+        """Segment boundaries fold the key, so segmented vs unsegmented
+        differ in streams — but both must be valid runs with consistent
+        shapes and finite log_z; the per-segment carry (logw, log_z,
+        beta_prev) must chain without loss."""
+        prob = _small_problem()
+        temps = pa.beta_linear(1.0, 40, beta_start=0.0)
+        states = sa.random_state(jax.random.key(13), prob.nspins, batch=(256,))
+        out, log_z, stats = pa.sample(
+            prob, temps, states, jax.random.key(14), beta0=0.0,
+            collect_stats=True, segment=16,
+        )
+        assert out.shape == states.shape
+        assert np.isfinite(float(log_z))
+        assert np.asarray(stats["ess"]).shape == (40,)
+        est = float(log_z) + pa.uniform_log_z(prob.nspins)
+        exact = _exact_log_z(prob, 1.0)
+        assert abs(est - exact) < 0.15, (est, exact)
+
+    def test_multinomial_resampling(self):
+        prob = _small_problem()
+        temps = pa.beta_linear(1.0, 40, beta_start=0.0)
+        states = sa.random_state(jax.random.key(15), prob.nspins, batch=(2048,))
+        out, log_z = pa.sample(prob, temps, states, jax.random.key(16),
+                               beta0=0.0, resample="multinomial")
+        est = float(log_z) + pa.uniform_log_z(prob.nspins)
+        exact = _exact_log_z(prob, 1.0)
+        assert abs(est - exact) < 0.1, (est, exact)
