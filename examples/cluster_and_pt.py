@@ -126,6 +126,22 @@ def main():
     print(f"Quantum PT (Gamma ladder): swap rate {float(qswap):.2f}, "
           f"best-slice eps_res = {(e_q - e_gs) / problem.nspins:.4f}")
 
+    # --- population annealing: weighted ensemble + free energy -----------
+    from montecarlosolvers_tpu.solvers import pa
+
+    pop = sa.random_state(jax.random.fold_in(key, 9), problem.nspins,
+                          batch=(max(256, args.chains),))
+    temps_pa = pa.beta_linear(3.0, args.tau, beta_start=0.0)
+    pop, log_z, stats = pa.sample(problem, temps_pa, pop,
+                                  jax.random.fold_in(key, 10),
+                                  beta0=0.0, collect_stats=True)
+    f_per_spin = (float(log_z) + pa.uniform_log_z(problem.nspins)) \
+        / problem.nspins
+    print(f"PA {pop.shape[0]} replicas, {args.tau} beta steps: "
+          f"eps_res = {eps_of(problem, e_gs, pop):.4f}, "
+          f"ln Z / N = {f_per_spin:.4f} (free energy, PA-exclusive), "
+          f"min ESS {float(np.asarray(stats['ess']).min()) / pop.shape[0]:.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,275 @@
+"""Population-annealing value experiment (round 4).
+
+Following the cluster_value / pt_value precedent ("the capability
+exists; its value is undemonstrated"), this measures whether PA's
+resampling earns its cost on the certified santoro 80x80 instance, on
+TPU, at equal budget — against the same baselines pt_value used, at the
+same cold temperature, so all three studies cross-compare.
+
+1. SAMPLING at T_cold = 0.5 (pt_value's target): R quenched chains run
+   local dynamics at T_cold for S sweeps (the trapped baseline);
+   the PA arm spends S beta-linear steps from beta=0 to 1/T_cold with
+   one sweep per step and per-step resampling. Metric: mean energy of
+   the T_cold ensemble (PA: final population; quench: second-half
+   trace). PA's per-step overhead — an (R,) energy readout, logsumexp,
+   cumsum, one row gather — is timed honestly and the quench gets an
+   equal-wall rematch. PA also reports the absolute free energy
+   ln Z(beta)/N, which no other sampler in the repo can estimate.
+
+2. OPTIMIZATION at equal wall-clock: best residual energy found. PA
+   (beta 0 -> 1/T_OPT over S steps, min over the final population) vs
+   SA restarts (R chains, linear 3 -> 0) re-run at tau' matching PA's
+   measured wall — the same methodology as cluster_value/pt_value.
+
+Writes results/pa_value/summary.json (resume-cached by arm name).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlosolvers_tpu.models import instances
+from montecarlosolvers_tpu.solvers import sa, pa
+from montecarlosolvers_tpu import schedules
+
+
+REPLICAS = 1024
+SWEEPS = 4000
+T_COLD = 0.5   # pt_value's sampling target: eps cross-comparable
+T_OPT = 0.1    # optimization arm's final temperature (beta_end = 10)
+MCSTEPS = 1
+
+
+def _timed(fn, *args):
+    """Best-of-2 timed runs (first window absorbs queued tunnel work)."""
+    out = fn(*args, 0)
+    jax.block_until_ready(out)
+    wall, kept = np.inf, out
+    for t in (1, 2):
+        t0 = time.time()
+        out = fn(*args, t)
+        jax.block_until_ready(out)
+        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        wall = min(wall, time.time() - t0)
+        kept = out
+    return kept, wall
+
+
+def sampling_arms(problem, e_gs, key, done, record):
+    """PA vs quenched local dynamics at T_cold, equal step budget then
+    equal wall."""
+    k_init, k_pa, k_q = jax.random.split(key, 3)
+    n = problem.nspins
+    s0 = sa.random_state(k_init, n, batch=(REPLICAS,))
+
+    temps_pa = pa.beta_linear(1.0 / T_COLD, SWEEPS, beta_start=0.0)
+
+    def arm_pa():
+        def run(seed):
+            return pa.sample(
+                problem, temps_pa, s0, jax.random.fold_in(k_pa, seed),
+                mcsteps=MCSTEPS, beta0=0.0, collect_stats=True,
+            )
+
+        (states, log_z, stats), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(problem.energy(states))
+        return dict(
+            eps_cold=float((es.mean() - e_gs) / n),
+            log_z_per_spin=float(log_z) / n + float(np.log(2.0)),
+            min_ess_frac=float(np.asarray(stats["ess"]).min()) / REPLICAS,
+            wall_s=wall,
+            total_sweeps=REPLICAS * SWEEPS * MCSTEPS,
+        )
+
+    def quench_arm(sweeps, tag_seed):
+        sched = jnp.full((sweeps,), T_COLD, jnp.float32)
+
+        def run(seed):
+            return sa.anneal(
+                problem, sched, s0, jax.random.fold_in(k_q, tag_seed + seed),
+                collect_energy=True,
+            )
+
+        (_, es), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(es)  # (sweeps, R)
+        e_cold = float(es[sweeps // 2:].mean())
+        return dict(
+            eps_cold=float((e_cold - e_gs) / n),
+            wall_s=wall,
+            total_sweeps=REPLICAS * sweeps,
+        )
+
+    p = record("sampling_pa", arm_pa)
+    q = record("sampling_quench", lambda: quench_arm(SWEEPS, 0))
+    if p and q:
+        # equal-wall quench rematch: PA pays for its per-step energy
+        # readout + resample; give the quench the same measured wall
+        sweeps_eq = int(SWEEPS * p["wall_s"] / max(q["wall_s"], 1e-9))
+        record(f"sampling_quench_equalwall_s{sweeps_eq}",
+               lambda: quench_arm(sweeps_eq, 100))
+
+    # matched-resource PT: pt_value's sampling_pt ran ONE 48-rung ladder
+    # (48 replicas); here PT gets PA's replica count AND sweep count —
+    # ceil(R/RUNGS) independent tuned ladders vmapped side by side, the
+    # strongest PT configuration this hardware budget buys
+    from montecarlosolvers_tpu.solvers import pt
+
+    rungs = 48
+    ladders = max(1, REPLICAS // rungs)
+    k_tune, k_run = jax.random.split(jax.random.fold_in(key, 77))
+
+    def arm_pt_matched():
+        temps0 = pt.geometric_ladder(T_COLD, 2.5, rungs)
+        temps, _ = pt.tune_ladder(problem, temps0, k_tune, rounds=3,
+                                  sweeps_per_round=200)
+        states = sa.random_state(k_run, n, batch=(ladders, rungs))
+        keys = jax.random.split(k_run, ladders)
+
+        def run(seed):
+            return jax.vmap(
+                lambda s, k: pt.sample(
+                    problem, temps, s, jax.random.fold_in(k, seed),
+                    SWEEPS, swap_every=2, collect_energy=True,
+                )
+            )(states, keys)
+
+        (_, rates, es), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(es)  # (ladders, SWEEPS, rungs); rung 0 = T_cold
+        e_cold = float(es[:, SWEEPS // 2:, 0].mean())
+        return dict(
+            eps_cold=float((e_cold - e_gs) / n),
+            swap_rate=float(np.asarray(rates).mean()),
+            wall_s=wall,
+            total_sweeps=ladders * rungs * SWEEPS,
+            replicas=ladders * rungs,
+        )
+
+    record(f"sampling_pt_matched_{ladders}x{rungs}", arm_pt_matched)
+
+
+def optimization_arms(problem, e_gs, key, done, record):
+    """Best energy found: PA vs SA restarts at equal wall-clock."""
+    k_init, k_pa, k_sa = jax.random.split(key, 3)
+    n = problem.nspins
+    s0 = sa.random_state(k_init, n, batch=(REPLICAS,))
+
+    temps_pa = pa.beta_linear(1.0 / T_OPT, SWEEPS, beta_start=0.0)
+
+    def arm_pa():
+        def run(seed):
+            return pa.sample(
+                problem, temps_pa, s0, jax.random.fold_in(k_pa, seed),
+                mcsteps=MCSTEPS, beta0=0.0, collect_stats=True,
+            )
+
+        (states, log_z, stats), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(problem.energy(states))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            min_ess_frac=float(np.asarray(stats["ess"]).min()) / REPLICAS,
+            wall_s=wall,
+        )
+
+    def sa_arm(tau, tag_seed):
+        sched = schedules.linear(3.0, 0.0, tau)
+
+        def run(seed):
+            return sa.anneal(
+                problem, sched, s0, jax.random.fold_in(k_sa, tag_seed + seed)
+            )
+
+        states, wall = _timed(lambda seed: run(seed))
+        es = np.asarray(problem.energy(states))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            wall_s=wall,
+            tau=int(tau),
+        )
+
+    p = record("opt_pa", arm_pa)
+    b = record(f"opt_sa_tau{SWEEPS}", lambda: sa_arm(SWEEPS, 0))
+    if p and b:
+        tau_eq = int(SWEEPS * p["wall_s"] / max(b["wall_s"], 1e-9))
+        record(f"opt_sa_equalwall_tau{tau_eq}", lambda: sa_arm(tau_eq, 100))
+
+    # matched-resource PT for optimization (ladder reaching T_OPT)
+    from montecarlosolvers_tpu.solvers import pt
+
+    rungs = 48
+    ladders = max(1, REPLICAS // rungs)
+    k_tune, k_run = jax.random.split(jax.random.fold_in(key, 78))
+
+    def arm_pt_matched():
+        temps0 = pt.geometric_ladder(T_OPT, 2.5, rungs)
+        temps, _ = pt.tune_ladder(problem, temps0, k_tune, rounds=3,
+                                  sweeps_per_round=200)
+        states = sa.random_state(k_run, n, batch=(ladders, rungs))
+        keys = jax.random.split(k_run, ladders)
+
+        def run(seed):
+            return jax.vmap(
+                lambda s, k: pt.sample(
+                    problem, temps, s, jax.random.fold_in(k, seed),
+                    SWEEPS, swap_every=2,
+                )
+            )(states, keys)
+
+        (states_out, rates), wall = _timed(lambda seed: run(seed))
+        es = np.asarray(problem.energy(states_out.reshape(-1, n)))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            swap_rate=float(np.asarray(rates).mean()),
+            wall_s=wall,
+            replicas=ladders * rungs,
+        )
+
+    record(f"opt_pt_matched_{ladders}x{rungs}", arm_pt_matched)
+
+
+def main(outdir="results/pa_value", budget_s=1200):
+    from montecarlosolvers_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "summary.json")
+    done = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            done = json.load(f)
+
+    problem, e_gs = instances.santoro_80x80(lattice=True)
+    key = jax.random.key(23)
+    t_start = time.time()
+
+    def record(name, fn):
+        if name in done:
+            print(f"{name}: cached {done[name]}", flush=True)
+            return done[name]
+        if time.time() - t_start > budget_s:
+            print(f"{name}: skipped (budget)", flush=True)
+            return None
+        out = fn()
+        done[name] = out
+        with open(path, "w") as f:
+            json.dump(done, f, indent=2)
+        print(f"{name}: {out}", flush=True)
+        return out
+
+    k1, k2 = jax.random.split(key)
+    sampling_arms(problem, e_gs, k1, done, record)
+    optimization_arms(problem, e_gs, k2, done, record)
+    print(json.dumps(done, indent=2))
+    return done
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,7 @@ def _systematic_indices(key, w):
 
 
 @partial(jax.jit, static_argnames=("mcsteps", "resample", "collect_stats"))
-def _run(problem, temps, state_in, key, logw, log_z, beta_prev,
+def _run(problem, temps, state_in, key, logw, log_z, beta_prev, anc,
          mcsteps, resample, collect_stats, ess_threshold):
     """One jitted segment of the PA scan. Engine dispatch mirrors
     pt.sample: the population is the chain axis of the same sweep
@@ -128,7 +128,7 @@ def _run(problem, temps, state_in, key, logw, log_z, beta_prev,
     log_r = jnp.float32(np.log(r))
 
     def body(carry, x):
-        state, logw, log_z, beta_prev = carry
+        state, logw, log_z, beta_prev, anc = carry
         temp, k = x
         k_rs, k_sweep = jax.random.split(k)
         beta = 1.0 / temp
@@ -149,17 +149,18 @@ def _run(problem, temps, state_in, key, logw, log_z, beta_prev,
             idx = jax.random.categorical(k_rs, logw, shape=(r,))
         idx = jnp.where(do_rs, idx, jnp.arange(r))
         state = _permute(state, idx)
+        anc = anc[idx]  # surviving-family lineage (Wang-Machta-Katzgraber)
         logw = jnp.where(do_rs, jnp.zeros_like(logw), logw)
         for i in range(mcsteps):
             state = _sweep(state, jax.random.fold_in(k_sweep, i), temp)
         stats = (ess, jnp.mean(e), do_rs) if collect_stats else None
-        return (state, logw, log_z, beta), stats
+        return (state, logw, log_z, beta, anc), stats
 
     keys = jax.random.split(key, temps.shape[0])
-    (state, logw, log_z, beta_prev), stats = jax.lax.scan(
-        body, (state, logw, log_z, beta_prev), (temps, keys)
+    (state, logw, log_z, beta_prev, anc), stats = jax.lax.scan(
+        body, (state, logw, log_z, beta_prev, anc), (temps, keys)
     )
-    return _unpack(state), logw, log_z, beta_prev, stats
+    return _unpack(state), logw, log_z, beta_prev, anc, stats
 
 
 def sample(problem, temps, states, key, mcsteps=1, beta0=None,
@@ -194,7 +195,9 @@ def sample(problem, temps, states, key, mcsteps=1, beta0=None,
       (states, log_z[, stats]): the final (R, N) population, the
       accumulated ln[Z(1/temps[-1]) / Z(beta0)] estimator, and — when
       collect_stats — a dict with "ess" (S,), "e_mean" (S,),
-      "resampled" (S,). With ess_threshold=1.0 the returned population
+      "resampled" (S,), and "families" (int: surviving distinct initial
+      lineages; R/families is the mean family size rho_t, the standard
+      PA equilibration diagnostic). With ess_threshold=1.0 the returned population
       is equally weighted; below it, residual weights were normalized
       into log_z and the final population is weighted by exp(logw)
       (not returned; resample at the end by passing ess_threshold=1.0
@@ -205,12 +208,13 @@ def sample(problem, temps, states, key, mcsteps=1, beta0=None,
     r = states.shape[0]
     logw = jnp.zeros((r,), jnp.float32)
     log_z = jnp.float32(0.0)
+    anc = jnp.arange(r, dtype=jnp.int32)
     segs = sched_mod.segments(temps.shape[0], segment)
     stats_parts = []
     for lo, hi in segs:
         k = key if len(segs) == 1 else jax.random.fold_in(key, lo)
-        states, logw, log_z, beta_prev, stats = _run(
-            problem, temps[lo:hi], states, k, logw, log_z, beta_prev,
+        states, logw, log_z, beta_prev, anc, stats = _run(
+            problem, temps[lo:hi], states, k, logw, log_z, beta_prev, anc,
             mcsteps, resample, collect_stats,
             jnp.float32(ess_threshold),
         )
@@ -222,5 +226,10 @@ def sample(problem, temps, states, key, mcsteps=1, beta0=None,
             if len(stats_parts) == 1
             else tuple(jnp.concatenate(p) for p in zip(*stats_parts))
         )
-        return states, log_z, {"ess": ess, "e_mean": e_mean, "resampled": rs}
+        # surviving families: replicas descending from distinct initial
+        # states — the PA literature's equilibration health metric
+        # (R/families is the effective lineage multiplicity rho_t)
+        families = int(np.unique(np.asarray(anc)).size)
+        return states, log_z, {"ess": ess, "e_mean": e_mean,
+                               "resampled": rs, "families": families}
     return states, log_z

@@ -187,3 +187,22 @@ class TestEnsemble:
         est = float(log_z) + pa.uniform_log_z(prob.nspins)
         exact = _exact_log_z(prob, 1.0)
         assert abs(est - exact) < 0.1, (est, exact)
+
+    def test_family_count_diagnostic(self):
+        """Ancestor tracking: families start at R, shrink monotonically
+        under resampling, and never exceed R or hit 0; a hard quench
+        (huge dbeta) collapses lineages to a few families."""
+        prob = _small_problem()
+        states = sa.random_state(jax.random.key(17), prob.nspins, batch=(128,))
+        # gentle schedule: many families survive
+        temps = pa.beta_linear(0.5, 30, beta_start=0.0)
+        _, _, stats = pa.sample(prob, temps, states, jax.random.key(18),
+                                beta0=0.0, collect_stats=True)
+        assert 1 <= stats["families"] <= 128
+        gentle = stats["families"]
+        # brutal two-step quench to beta=8: heavy lineage collapse
+        temps_hard = pa.beta_linear(8.0, 2, beta_start=0.0)
+        _, _, stats_h = pa.sample(prob, temps_hard, states,
+                                  jax.random.key(19), beta0=0.0,
+                                  collect_stats=True)
+        assert stats_h["families"] < gentle
