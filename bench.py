@@ -103,7 +103,11 @@ def _emit(final=False):
         if final:
             _FINAL_EMITTED = True
         line = _build_line()
-    print(line, flush=True)
+        # Print while still holding _LOCK: if the flag were set before the
+        # line hit stdout, a watchdog firing in that window would see
+        # _FINAL_EMITTED and exit without writing anything — losing the
+        # completed run's final line entirely.
+        print(line, flush=True)
 
 
 def _watchdog():
@@ -641,9 +645,28 @@ def _supervise():
             final = json.loads(last_json)
         except Exception:  # noqa: BLE001
             final = None
-    partial = final is not None and final.get("value") and not final.get(
-        "piqmc_attempts_per_sec"
-    )
+    # A full run leaves, for EVERY arm, either a measurement or an
+    # error_<arm> field; an arm skipped by the _remaining() budget gates
+    # leaves neither. Keying the partial check on the complete arm list
+    # (not just piqmc) catches a tunnel that degrades after any arm.
+    ARM_MARKERS = {
+        "piqmc": ("piqmc_attempts_per_sec",),
+        "svmc": ("svmc_attempts_per_sec",),
+        "piqmc_bath": ("piqmc_bath_attempts_per_sec",),
+        "pallas_sa": ("pallas_sa_attempts_per_sec",),
+        "pallas_piqmc": ("pallas_piqmc_attempts_per_sec",),
+        "pallas_svmc": ("pallas_svmc_attempts_per_sec",),
+        "pallas_piqmc_bath": ("pallas_piqmc_bath_attempts_per_sec",),
+        "cluster": ("wolff_cluster_ms", "sw_bath_sweep_ms"),
+    }
+    starved = [
+        name
+        for name, keys in ARM_MARKERS.items()
+        if final is not None
+        and not any(final.get(k) for k in keys)
+        and not final.get(f"error_{name}")
+    ]
+    partial = bool(final is not None and final.get("value") and starved)
     if final is None or not final.get("value") or partial:
         # Either no live SA measurement (tunnel outage) or a live-but-
         # truncated run where a degraded tunnel starved the later arms
@@ -654,7 +677,9 @@ def _supervise():
             with _LOCK:
                 final = dict(_RESULT)
         note = (
-            "degraded tunnel: later arms starved, partial live results"
+            "degraded tunnel: arms starved ("
+            + ",".join(starved)
+            + "), partial live results"
             if partial
             else "no live hardware measurement this run (tunnel outage?)"
         )

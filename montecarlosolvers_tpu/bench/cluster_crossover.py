@@ -47,11 +47,13 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from montecarlosolvers_tpu.bench._common import make_recorder
 from montecarlosolvers_tpu.models.ising import IsingProblem
 from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
 from montecarlosolvers_tpu.ops import cluster as cluster_ops
@@ -241,16 +243,7 @@ def main(outdir="results/cluster_value", Ls=(32,), P=4, gamma=0.1, chains=16,
 
     key = jax.random.key(0)
 
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done)
 
     for L in Ls:
         problem = fm_lattice(L)
@@ -269,7 +262,7 @@ def main(outdir="results/cluster_value", Ls=(32,), P=4, gamma=0.1, chains=16,
                 # tunnel's ~90 s crash threshold: cluster sweeps cost
                 # ~L*N BFS work each (5 ms at L=32, ~25 ms at L=64)
                 ck = 2048 if (we == 0 or L <= 32) else 256
-                kp = jax.random.fold_in(key, hash(name) % (2**31))
+                kp = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
                 record(name, lambda we=we, temp=temp, kp=kp, ns=ns,
                        ck=ck, problem=problem: dict(zip(
                     ("tau_int_sweeps", "wall_per_sweep_s", "mean_m2",
@@ -298,16 +291,7 @@ def main_classical(outdir="results/cluster_value", Ls=(32, 64, 128),
             done = json.load(f)
     key = jax.random.key(42)
 
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done)
 
     for L in Ls:
         prob_gen = fm_lattice(L)
@@ -330,7 +314,7 @@ def main_classical(outdir="results/cluster_value", Ls=(32, 64, 128),
                 # cheap (log-diameter label rounds), local is microseconds
                 ck = 2048 if move in ("local",) else (
                     512 if move != "wolff" else 256)
-                kp = jax.random.fold_in(key, hash(name) % (2**31))
+                kp = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
                 record(name, lambda move=move, T=T, kp=kp, ns=ns, ck=ck,
                        problem=problem: dict(zip(
                     ("tau_int_sweeps", "wall_per_sweep_s", "mean_m2"),
@@ -359,16 +343,7 @@ def main_L256(outdir="results/cluster_value", chains=16):
     key = jax.random.key(7)
     problem = fm_lattice(256)
 
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done)
 
     # local: tau_int ~ 2500 sweeps at L=256 — the trace must cover many
     # tau; sw: tau ~ 5 but each sweep is ~0.35 s (relax depth ~ L^1.1),

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from montecarlosolvers_tpu.models import instances
 from montecarlosolvers_tpu.solvers import sa, qmc
 from montecarlosolvers_tpu import schedules
+from montecarlosolvers_tpu.bench._common import make_recorder
 
 
 CHAINS = 32
@@ -114,7 +115,10 @@ def mixed_arm(problem, e_gs, tau, key, confs0, n_cl=10, lookuptable=None):
                 problem, a, jnp.ones_like(a), PT / P, confs,
                 jax.random.fold_in(key, i), **kw
             )
-            g_end = jnp.float32(a_np[min((i + 1) * seg, len(a_np)) - 1])
+            # hi - 1, not (i+1)*seg - 1: the last segment's slice extends
+            # to len(a_np), so its cluster move must run at the TRUE final
+            # Gamma, not the un-extended boundary's (review r4)
+            g_end = jnp.float32(a_np[hi - 1])
             one = jnp.asarray([g_end])
             kc = jax.random.fold_in(key, 1000 + i)
             if lookuptable is None:
@@ -166,21 +170,7 @@ def main(outdir="results/cluster_value", taus=(2000, 6000), budget_s=1500):
     key = jax.random.key(0)
     confs0 = _pre_annealed(problem, key)
     lut = schedules.bath_lookuptable(P, 1e-2)
-    t_start = time.time()
-
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        if time.time() - t_start > budget_s:
-            print(f"{name}: skipped (budget)", flush=True)
-            return None
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done, budget_s=budget_s)
 
     for tau in taus:
         kp = jax.random.fold_in(key, tau)

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 import jax
@@ -37,6 +36,7 @@ import jax.numpy as jnp
 from montecarlosolvers_tpu.models import instances
 from montecarlosolvers_tpu.solvers import sa, pa
 from montecarlosolvers_tpu import schedules
+from montecarlosolvers_tpu.bench._common import make_recorder, timed
 
 
 REPLICAS = 1024
@@ -45,20 +45,6 @@ T_COLD = 0.5   # pt_value's sampling target: eps cross-comparable
 T_OPT = 0.1    # optimization arm's final temperature (beta_end = 10)
 MCSTEPS = 1
 
-
-def _timed(fn, *args):
-    """Best-of-2 timed runs (first window absorbs queued tunnel work)."""
-    out = fn(*args, 0)
-    jax.block_until_ready(out)
-    wall, kept = np.inf, out
-    for t in (1, 2):
-        t0 = time.time()
-        out = fn(*args, t)
-        jax.block_until_ready(out)
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        wall = min(wall, time.time() - t0)
-        kept = out
-    return kept, wall
 
 
 def sampling_arms(problem, e_gs, key, done, record):
@@ -77,7 +63,7 @@ def sampling_arms(problem, e_gs, key, done, record):
                 mcsteps=MCSTEPS, beta0=0.0, collect_stats=True,
             )
 
-        (states, log_z, stats), wall = _timed(lambda seed: run(seed))
+        (states, log_z, stats), wall = timed(lambda seed: run(seed))
         es = np.asarray(problem.energy(states))
         return dict(
             eps_cold=float((es.mean() - e_gs) / n),
@@ -96,7 +82,7 @@ def sampling_arms(problem, e_gs, key, done, record):
                 collect_energy=True,
             )
 
-        (_, es), wall = _timed(lambda seed: run(seed))
+        (_, es), wall = timed(lambda seed: run(seed))
         es = np.asarray(es)  # (sweeps, R)
         e_cold = float(es[sweeps // 2:].mean())
         return dict(
@@ -139,7 +125,7 @@ def sampling_arms(problem, e_gs, key, done, record):
                 )
             )(states, keys)
 
-        (_, rates, es), wall = _timed(lambda seed: run(seed))
+        (_, rates, es), wall = timed(lambda seed: run(seed))
         es = np.asarray(es)  # (ladders, SWEEPS, rungs); rung 0 = T_cold
         e_cold = float(es[:, SWEEPS // 2:, 0].mean())
         return dict(
@@ -168,7 +154,7 @@ def optimization_arms(problem, e_gs, key, done, record):
                 mcsteps=MCSTEPS, beta0=0.0, collect_stats=True,
             )
 
-        (states, log_z, stats), wall = _timed(lambda seed: run(seed))
+        (states, log_z, stats), wall = timed(lambda seed: run(seed))
         es = np.asarray(problem.energy(states))
         return dict(
             eps_best=float((es.min() - e_gs) / n),
@@ -185,7 +171,7 @@ def optimization_arms(problem, e_gs, key, done, record):
                 problem, sched, s0, jax.random.fold_in(k_sa, tag_seed + seed)
             )
 
-        states, wall = _timed(lambda seed: run(seed))
+        states, wall = timed(lambda seed: run(seed))
         es = np.asarray(problem.energy(states))
         return dict(
             eps_best=float((es.min() - e_gs) / n),
@@ -222,7 +208,7 @@ def optimization_arms(problem, e_gs, key, done, record):
                 )
             )(states, keys)
 
-        (states_out, rates), wall = _timed(lambda seed: run(seed))
+        (states_out, rates), wall = timed(lambda seed: run(seed))
         es = np.asarray(problem.energy(states_out.reshape(-1, n)))
         return dict(
             eps_best=float((es.min() - e_gs) / n),
@@ -248,21 +234,7 @@ def main(outdir="results/pa_value", budget_s=1200):
 
     problem, e_gs = instances.santoro_80x80(lattice=True)
     key = jax.random.key(23)
-    t_start = time.time()
-
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        if time.time() - t_start > budget_s:
-            print(f"{name}: skipped (budget)", flush=True)
-            return None
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done, budget_s=budget_s)
 
     k1, k2 = jax.random.split(key)
     sampling_arms(problem, e_gs, k1, done, record)

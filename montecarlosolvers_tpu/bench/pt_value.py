@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 import jax
@@ -43,6 +42,7 @@ import jax.numpy as jnp
 from montecarlosolvers_tpu.models import instances
 from montecarlosolvers_tpu.solvers import sa, qmc, pt
 from montecarlosolvers_tpu import schedules
+from montecarlosolvers_tpu.bench._common import make_recorder, timed
 
 
 RUNGS = 48
@@ -55,21 +55,6 @@ T_HOT = 2.5
 Q_RUNGS, Q_SLICES, Q_SWEEPS = 48, 20, 500
 Q_GAMMA_HI, Q_GAMMA_LO = 1.5, 0.3
 
-
-def _timed(fn, *args):
-    """Best-of-2 timed runs (first window absorbs queued tunnel work)."""
-    out = fn(*args, 0)
-    jax.block_until_ready(out)
-    wall, kept = np.inf, out
-    for t in (1, 2):
-        t0 = time.time()
-        out = fn(*args, t)
-        jax.block_until_ready(out)
-        # a scalar fetch forces completion through the tunnel
-        float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
-        wall = min(wall, time.time() - t0)
-        kept = out
-    return kept, wall
 
 
 def sampling_arms(problem, e_gs, key, done, record):
@@ -90,7 +75,7 @@ def sampling_arms(problem, e_gs, key, done, record):
         return states, rate, es
 
     def arm_pt():
-        (states, rate, es), wall = _timed(lambda seed: pt_run(seed))
+        (states, rate, es), wall = timed(lambda seed: pt_run(seed))
         es = np.asarray(es)  # (SWEEPS, M); rung 0 is T_cold (ascending)
         e_cold = float(es[SWEEPS // 2:, 0].mean())
         return dict(
@@ -110,7 +95,7 @@ def sampling_arms(problem, e_gs, key, done, record):
                 collect_energy=True,
             )
 
-        (_, es), wall = _timed(lambda seed: run(seed))
+        (_, es), wall = timed(lambda seed: run(seed))
         es = np.asarray(es)  # (SWEEPS, M)
         e_cold = float(es[SWEEPS // 2:].mean())
         return dict(
@@ -135,7 +120,7 @@ def sampling_arms(problem, e_gs, key, done, record):
                     collect_energy=True,
                 )
 
-            (_, es), wall = _timed(lambda seed: run(seed))
+            (_, es), wall = timed(lambda seed: run(seed))
             es = np.asarray(es)
             e_cold = float(es[sweeps_eq // 2:].mean())
             return dict(
@@ -171,7 +156,7 @@ def icm_arms(problem, e_gs, key, done, record):
                 swap_every=2, houdayer_every=2, collect_energy=True,
             )
 
-        (_, rate, hfrac, es), wall = _timed(lambda seed: run(seed))
+        (_, rate, hfrac, es), wall = timed(lambda seed: run(seed))
         es = np.asarray(es)  # (S, 2, M); rung 0 is T_cold
         e_cold = float(es[S // 2:, :, 0].mean())
         return dict(
@@ -195,7 +180,7 @@ def icm_arms(problem, e_gs, key, done, record):
                 swap_every=2, houdayer_every=2,
             )
 
-        (states, rate, hfrac), wall = _timed(lambda seed: run(seed))
+        (states, rate, hfrac), wall = timed(lambda seed: run(seed))
         e_min = float(np.asarray(problem.energy(states)).min())
         return dict(
             eps_best=float((e_min - e_gs) / problem.nspins),
@@ -226,7 +211,7 @@ def optimization_arms(problem, e_gs, key, done, record):
             )
             return states, rate
 
-        (states, rate), wall = _timed(lambda seed: run(seed))
+        (states, rate), wall = timed(lambda seed: run(seed))
         e_min = float(np.asarray(problem.energy(states)).min())
         return dict(
             eps_best=float((e_min - e_gs) / problem.nspins),
@@ -242,7 +227,7 @@ def optimization_arms(problem, e_gs, key, done, record):
                 problem, sched, s0, jax.random.fold_in(k_sa, seed)
             )
 
-        states, wall = _timed(lambda seed: run(seed))
+        states, wall = timed(lambda seed: run(seed))
         e_min = float(np.asarray(problem.energy(states)).min())
         return dict(
             eps_best=float((e_min - e_gs) / problem.nspins),
@@ -293,7 +278,7 @@ def quantum_arms(problem, e_gs, key, done, record):
             )
             return confs, rate
 
-        (confs, rate), wall = _timed(lambda seed: run(seed))
+        (confs, rate), wall = timed(lambda seed: run(seed))
         e_min = float(np.asarray(qmc.best_slice_energy(problem, confs)).min())
         return dict(
             eps_best=float((e_min - e_gs) / problem.nspins),
@@ -310,7 +295,7 @@ def quantum_arms(problem, e_gs, key, done, record):
                 jax.random.fold_in(k_q, seed), global_moves=True,
             )
 
-        confs, wall = _timed(lambda seed: run(seed))
+        confs, wall = timed(lambda seed: run(seed))
         e_min = float(np.asarray(qmc.best_slice_energy(problem, confs)).min())
         return dict(
             eps_best=float((e_min - e_gs) / problem.nspins),
@@ -339,21 +324,7 @@ def main(outdir="results/pt_value", budget_s=1500):
 
     problem, e_gs = instances.santoro_80x80(lattice=True)
     key = jax.random.key(11)
-    t_start = time.time()
-
-    def record(name, fn):
-        if name in done:
-            print(f"{name}: cached {done[name]}", flush=True)
-            return done[name]
-        if time.time() - t_start > budget_s:
-            print(f"{name}: skipped (budget)", flush=True)
-            return None
-        out = fn()
-        done[name] = out
-        with open(path, "w") as f:
-            json.dump(done, f, indent=2)
-        print(f"{name}: {out}", flush=True)
-        return out
+    record = make_recorder(path, done, budget_s=budget_s)
 
     k1, k2, k3, k4 = jax.random.split(key, 4)
     sampling_arms(problem, e_gs, k1, done, record)

@@ -97,17 +97,23 @@ def pad_schedule(sched, segment, buckets=(32, 4, 1)):
     up to the next bucket in {segment/32, segment/4, segment}. The
     padding overhead is at most one bucket of no-op sweeps — sub-second
     at benchmark scale, vs minutes of avoided compiles.
+
+    Returns a host-side NumPy array: schedules are built on the host and
+    only shipped to the device by the solver (per segment window). A jnp
+    return here would round-trip multi-MB schedules device->host->device
+    through the tunnel at every `np.asarray(pad_schedule(...))` call site
+    (review r4).
     """
     sched = np.asarray(sched, dtype=np.float32)
     n = len(sched)
     if segment is None:
-        return jnp.asarray(sched)
+        return sched
     tail = n % segment or min(n, segment)
     sizes = sorted({max(1, segment // b) for b in buckets})
     padded_tail = next((s for s in sizes if s >= tail), segment)
     pad = padded_tail - tail
     if pad == 0:
-        return jnp.asarray(sched)
-    return jnp.concatenate(
-        [jnp.full((pad,), jnp.nan, dtype=jnp.float32), jnp.asarray(sched)]
+        return sched
+    return np.concatenate(
+        [np.full((pad,), np.nan, dtype=np.float32), sched]
     )
