@@ -569,6 +569,34 @@ def _last_validated():
         return None
 
 
+# A full run leaves, for EVERY arm, either a measurement or an
+# error_<arm> field; an arm that never started (budget gate, or a tunnel
+# that degraded mid-run and starved everything after it) leaves neither.
+ARM_MARKERS = {
+    "piqmc": ("piqmc_attempts_per_sec",),
+    "svmc": ("svmc_attempts_per_sec",),
+    "piqmc_bath": ("piqmc_bath_attempts_per_sec",),
+    "pallas_sa": ("pallas_sa_attempts_per_sec",),
+    "pallas_piqmc": ("pallas_piqmc_attempts_per_sec",),
+    "pallas_svmc": ("pallas_svmc_attempts_per_sec",),
+    "pallas_piqmc_bath": ("pallas_piqmc_bath_attempts_per_sec",),
+    "cluster": ("wolff_cluster_ms", "sw_bath_sweep_ms"),
+}
+
+
+def _starved_arms(final):
+    """Arms with neither a measurement nor an error field in the final
+    line — the signature of a run truncated by a degrading tunnel.
+    Keying on the complete arm table (not just piqmc) catches a tunnel
+    that degrades after ANY arm (review r4)."""
+    return [
+        name
+        for name, keys in ARM_MARKERS.items()
+        if not any(final.get(k) for k in keys)
+        and not final.get(f"error_{name}")
+    ]
+
+
 def _supervise():
     """Parent mode: run the benchmark as a child process and restart it
     once if backend init hangs.
@@ -645,27 +673,7 @@ def _supervise():
             final = json.loads(last_json)
         except Exception:  # noqa: BLE001
             final = None
-    # A full run leaves, for EVERY arm, either a measurement or an
-    # error_<arm> field; an arm skipped by the _remaining() budget gates
-    # leaves neither. Keying the partial check on the complete arm list
-    # (not just piqmc) catches a tunnel that degrades after any arm.
-    ARM_MARKERS = {
-        "piqmc": ("piqmc_attempts_per_sec",),
-        "svmc": ("svmc_attempts_per_sec",),
-        "piqmc_bath": ("piqmc_bath_attempts_per_sec",),
-        "pallas_sa": ("pallas_sa_attempts_per_sec",),
-        "pallas_piqmc": ("pallas_piqmc_attempts_per_sec",),
-        "pallas_svmc": ("pallas_svmc_attempts_per_sec",),
-        "pallas_piqmc_bath": ("pallas_piqmc_bath_attempts_per_sec",),
-        "cluster": ("wolff_cluster_ms", "sw_bath_sweep_ms"),
-    }
-    starved = [
-        name
-        for name, keys in ARM_MARKERS.items()
-        if final is not None
-        and not any(final.get(k) for k in keys)
-        and not final.get(f"error_{name}")
-    ]
+    starved = _starved_arms(final) if final is not None else []
     partial = bool(final is not None and final.get("value") and starved)
     if final is None or not final.get("value") or partial:
         # Either no live SA measurement (tunnel outage) or a live-but-

@@ -114,3 +114,32 @@ def test_supervise_outage_line_is_parseable(monkeypatch, capsys):
     assert final["value"] == 0.0
     assert "no live hardware measurement" in final["note"]
     assert final["last_hw_validated"]["line"]["value"] > 1e10
+
+
+def test_starved_arms_full_run_is_clean():
+    # every arm measured (or failed with a recorded error) => nothing starved
+    final = {f"{n}_attempts_per_sec": 1e10 for n in (
+        "piqmc", "svmc", "piqmc_bath", "pallas_sa", "pallas_piqmc",
+        "pallas_svmc", "pallas_piqmc_bath")}
+    final["wolff_cluster_ms"] = 9.5
+    assert bench._starved_arms(final) == []
+    # an arm that errored out is attributable, not starved
+    del final["svmc_attempts_per_sec"]
+    final["error_svmc"] = "RuntimeError('tunnel')"
+    assert bench._starved_arms(final) == []
+    # the cluster arm's markers are ORed: either timing suffices
+    del final["wolff_cluster_ms"]
+    final["sw_bath_sweep_ms"] = 5.7
+    assert bench._starved_arms(final) == []
+
+
+def test_starved_arms_names_every_missing_arm():
+    # the 2026-08-19 18:34 failure mode: SA measured, everything after
+    # starved by a degrading tunnel — every later arm must be named
+    final = {"value": 5.8e10, "piqmc_attempts_per_sec": 3.3e10}
+    starved = bench._starved_arms(final)
+    assert "piqmc" not in starved
+    assert set(starved) == {
+        "svmc", "piqmc_bath", "pallas_sa", "pallas_piqmc",
+        "pallas_svmc", "pallas_piqmc_bath", "cluster",
+    }
