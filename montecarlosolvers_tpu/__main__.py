@@ -17,6 +17,13 @@ import sys
 
 import numpy as np
 
+# One choice per solve() method — kept in lockstep with
+# solvers.api._METHOD_KW by tests/test_api.py; hardcoded here so parsing
+# --help does not pay the jax import.
+SOLVE_METHODS = ("sa", "sa_wolff", "sa_sw",
+                 "piqmc", "piqmc_wolff", "piqmc_sw", "piqmc_sw_full",
+                 "svmc", "pt", "icm", "pa")
+
 
 def _build_problem(args):
     from montecarlosolvers_tpu.models import instances
@@ -38,8 +45,7 @@ def main(argv=None):
 
     sp = sub.add_parser("solve", help="anneal an instance file")
     sp.add_argument("instance")
-    sp.add_argument("--method", default="sa",
-                    choices=["sa", "piqmc", "svmc", "pt", "icm", "pa"])
+    sp.add_argument("--method", default="sa", choices=SOLVE_METHODS)
     sp.add_argument("--num-reads", type=int, default=64)
     sp.add_argument("--sweeps", type=int, default=1000)
     sp.add_argument("--seed", type=int, default=0)
@@ -77,7 +83,8 @@ def main(argv=None):
     from montecarlosolvers_tpu.solvers.api import solve
 
     problem = _build_problem(args)
-    kw = dict(slices=args.slices) if args.method == "piqmc" else {}
+    kw = (dict(slices=args.slices)
+          if args.method.startswith("piqmc") else {})
     res = solve(problem, method=args.method, num_reads=args.num_reads,
                 sweeps=args.sweeps, seed=args.seed, **kw)
     print(json.dumps({

@@ -201,3 +201,36 @@ class TestPAMethod:
 
         with pytest.raises(TypeError):
             solve(prob, method="pa", t_min=0.1)
+
+
+class TestCLI:
+    def test_cli_methods_match_solve_table(self):
+        """The --method choices must expose every solve() method (the
+        CLI once listed only 6 of 11)."""
+        from montecarlosolvers_tpu.__main__ import SOLVE_METHODS
+        from montecarlosolvers_tpu.solvers.api import _METHOD_KW
+
+        assert set(SOLVE_METHODS) == set(_METHOD_KW)
+
+    def test_cli_solve_smoke(self, tmp_path, capsys):
+        """End-to-end: triplet file -> solve -> JSON line + npz output."""
+        import json
+
+        from montecarlosolvers_tpu.__main__ import main
+
+        # 4-spin ferromagnetic ring, 1-indexed triplets, gs energy -4
+        inst = tmp_path / "ring.txt"
+        inst.write_text(
+            "1 2 -1\n2 3 -1\n3 4 -1\n4 1 -1\n"
+        )
+        out = tmp_path / "samples.npz"
+        rc = main(["solve", str(inst), "--method", "sa", "--num-reads", "8",
+                   "--sweeps", "50", "--out", str(out)])
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        res = json.loads(line)
+        assert res["best_energy"] == -4.0
+        data = np.load(out)
+        assert data["samples"].shape == (8, 4)
+        assert data["energies"].min() == -4.0
