@@ -34,6 +34,10 @@ init hang, BENCH_r02.json rc=124):
     headline metric/value fields.
   * Each arm is gated on remaining wall budget and wrapped in try/except;
     a failing arm records an error field instead of killing the run.
+    Below an arm's full gate (but above a light floor) the arm runs a
+    SHRUNK configuration — smaller taus, one repeat trial, flagged
+    <name>_light_config — so a tunnel that degrades mid-run still leaves
+    a live point for every arm instead of starving the tail.
   * If the whole run measured nothing (total tunnel outage — observed
     >5 h on 2026-08-17/18 with every fresh process hung in backend
     init), the final line keeps the honest zero but attaches the dated
@@ -211,7 +215,7 @@ def _measure_rate(run, taus, work_per_step, trials=3, min_budget=40.0):
     return work_per_step / slope, info
 
 
-def _sa_arm(problem):
+def _sa_arm(problem, light=False):
     """SA throughput at the measured-optimal 1280 chains (bfloat16 state
     carry: 6.1e10 att/s on v5e 2026-08-18, vs 5.7e10 at 640 and a spill
     at 2560), plus eps_res quality from the largest-tau run."""
@@ -231,7 +235,10 @@ def _sa_arm(problem):
         float(jnp.sum(out[..., 0]))  # force completion, tiny fetch
         out_ref[0] = (tau, out)
 
-    rate, info = _measure_rate(run, (2000, 6000, 10000), problem.nspins * chains)
+    rate, info = _measure_rate(run, (500, 1500) if light else (2000, 6000, 10000),
+                               problem.nspins * chains,
+                               trials=1 if light else 3,
+                               min_budget=15.0 if light else 40.0)
     # quality readout comes from the largest tau _measure_rate completed —
     # record which one, so budget-truncated runs stay comparable
     tau_q, out = out_ref[0]
@@ -239,7 +246,7 @@ def _sa_arm(problem):
     return rate, es, tau_q, info
 
 
-def _piqmc_arm(problem):
+def _piqmc_arm(problem, light=False):
     """PIQMC local+global-move throughput at the benchmark's P=40,
     chains=32 — the measured sweet spot with the bfloat16 state carry
     (3.4e10 att/s on v5e 2026-08-18; float32 spilled VMEM past 16
@@ -265,8 +272,10 @@ def _piqmc_arm(problem):
         float(jnp.sum(out[..., 0, 0]))
         out_ref[0] = (tau, out)
 
-    rate, info = _measure_rate(run, (1000, 3000, 5000),
-                               problem.nspins * P * chains)
+    rate, info = _measure_rate(run, (300, 900) if light else (1000, 3000, 5000),
+                               problem.nspins * P * chains,
+                               trials=1 if light else 3,
+                               min_budget=15.0 if light else 40.0)
     # flagship-path quality spot-check (VERDICT r3 #7): best-slice eps_res
     # from the largest tau _measure_rate completed
     tau_q, out = out_ref[0]
@@ -274,7 +283,7 @@ def _piqmc_arm(problem):
     return rate, es, tau_q, info
 
 
-def _svmc_arm(problem):
+def _svmc_arm(problem, light=False):
     """SVMC-TF rotor throughput at 256 chains (split engine,
     svmc.SpinVectorMonteCarloTF / *TFCompact, svmc.pyx:123-229,561-674)."""
     import jax
@@ -293,10 +302,13 @@ def _svmc_arm(problem):
         )
         float(jnp.sum(out[..., 0]))
 
-    return _measure_rate(run, (1000, 3000), problem.nspins * chains)
+    return _measure_rate(run, (300, 900) if light else (1000, 3000),
+                         problem.nspins * chains,
+                         trials=1 if light else 3,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _piqmc_bath_arm(problem):
+def _piqmc_bath_arm(problem, light=False):
     """Dissipative PIQMC throughput at benchmark scale (P=40): the
     slice-sequential kernel with the (P,P)-matvec bath field
     (ops/piqmc.py dissipative_local_sweep; qmc.pyx:149-278). 32 chains
@@ -325,10 +337,13 @@ def _piqmc_bath_arm(problem):
     # tau raised from (200, 600) when the split bath engine landed: the
     # faster sweep needs a larger step spread to resolve the slope
     # against the ~0.3 s tunnel jitter
-    return _measure_rate(run, (800, 2400, 4800), problem.nspins * P * chains)
+    return _measure_rate(run, (400, 1200) if light else (800, 2400, 4800),
+                         problem.nspins * P * chains,
+                         trials=1 if light else 3,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _pallas_arm(problem):
+def _pallas_arm(problem, light=False):
     """Fused split-layout Pallas SA kernel (ops/pallas_split.py), hardware
     PRNG, 256 chains (measured best: 6.0e10 att/s on v5e 2026-08-18, vs
     5.8e10 at 512 and 5.6e10 at 1024). Generously budget-gated (see
@@ -350,11 +365,13 @@ def _pallas_arm(problem):
         )
         float(jnp.sum(out[..., 0]))
 
-    return _measure_rate(run, (16384, 65536), problem.nspins * chains,
-                         trials=2)
+    return _measure_rate(run, (4096, 16384) if light else (16384, 65536),
+                         problem.nspins * chains,
+                         trials=1 if light else 2,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _pallas_qmc_arm(problem):
+def _pallas_qmc_arm(problem, light=False):
     """Fused split-layout Pallas PIQMC kernel at the flagship shape
     (P=40, local+global, 16 chains, chain_block=4) — measured above the
     XLA split engine (2.8e10 vs 2.5e10 att/s on v5e)."""
@@ -377,11 +394,13 @@ def _pallas_qmc_arm(problem):
         )
         float(jnp.sum(out[..., 0, 0]))
 
-    return _measure_rate(run, (2048, 8192), problem.nspins * P * chains,
-                         trials=2)
+    return _measure_rate(run, (512, 2048) if light else (2048, 8192),
+                         problem.nspins * P * chains,
+                         trials=1 if light else 2,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _pallas_svmc_arm(problem):
+def _pallas_svmc_arm(problem, light=False):
     """Fused split-layout Pallas SVMC-TF kernel (VMEM trig-cache form,
     2 transcendentals per site per phase), 128 chains — measured 1.5e10
     rotor attempts/s vs the cached XLA engine's 1.24e10."""
@@ -402,11 +421,13 @@ def _pallas_svmc_arm(problem):
         )
         float(jnp.sum(out[..., 0]))
 
-    return _measure_rate(run, (8192, 32768), problem.nspins * chains,
-                         trials=2)
+    return _measure_rate(run, (2048, 8192) if light else (8192, 32768),
+                         problem.nspins * chains,
+                         trials=1 if light else 2,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _pallas_bath_arm(problem):
+def _pallas_bath_arm(problem, light=False):
     """Fused split-layout dissipative PIQMC kernel at benchmark scale
     (P=40, all-to-all bath): the state stays VMEM-resident across the
     slice-sequential sweep instead of streaming (chains, P, N) through
@@ -437,11 +458,13 @@ def _pallas_bath_arm(problem):
     # published the overhead-dominated single-shot floor (5.9e9 in the
     # 2026-08-19 12:44 run — exactly the predicted floor, not a kernel
     # regression). tau=6144 puts ~430 ms of compute on the clock.
-    return _measure_rate(run, (1536, 6144), problem.nspins * P * chains,
-                         trials=2)
+    return _measure_rate(run, (512, 2048) if light else (1536, 6144),
+                         problem.nspins * P * chains,
+                         trials=1 if light else 2,
+                         min_budget=15.0 if light else 40.0)
 
 
-def _cluster_arm(problem):
+def _cluster_arm(problem, light=False):
     """Cluster-update cost at benchmark scale (P=40): ms per Wolff
     cluster (qmc.QuantumAnnealWCL analog, one cluster per schedule step,
     qmc.pyx:620-786) — unbatched AND vmapped over 16 chains, where the
@@ -494,7 +517,7 @@ def _cluster_arm(problem):
         )
         float(jnp.sum(o[..., 0, 0]))
 
-    ms, degraded = time_steps(run_wolff, (30, 90))
+    ms, degraded = time_steps(run_wolff, (10, 30) if light else (30, 90))
     out["wolff_cluster_ms"] = round(ms, 2)
     if degraded:
         out["wolff_cluster_ms_degraded"] = True
@@ -507,14 +530,14 @@ def _cluster_arm(problem):
         )
         float(jnp.sum(o[..., 0, 0]))
 
-    if _remaining() > 60:
+    if not light and _remaining() > 60:
         ms, degraded = time_steps(run_wolff_batched, (30, 90))
         out["wolff_cluster_ms_per_chain"] = round(ms / wolff_chains, 2)
         out["wolff_cluster_chains"] = wolff_chains
         if degraded:
             out["wolff_cluster_ms_per_chain_degraded"] = True
 
-    if _remaining() > 45:
+    if _remaining() > (20 if light else 45):
         def run_sw(tau, seed):
             a = schedules.transverse_field(3.0, 1e-8, tau)
             o = qmc.anneal_sw_bath(
@@ -523,12 +546,12 @@ def _cluster_arm(problem):
             )
             float(jnp.sum(o[..., 0, 0]))
 
-        ms, degraded = time_steps(run_sw, (10, 30))
+        ms, degraded = time_steps(run_sw, (4, 12) if light else (10, 30))
         out["sw_bath_sweep_ms"] = round(ms, 2)
         if degraded:
             out["sw_bath_sweep_ms_degraded"] = True
 
-    if _remaining() > 40:
+    if not light and _remaining() > 40:
         def run_wc3(tau, seed):
             a = schedules.transverse_field(3.0, 1e-8, tau)
             o = qmc.anneal_sw_bath(
@@ -582,6 +605,17 @@ ARM_MARKERS = {
     "pallas_piqmc_bath": ("pallas_piqmc_bath_attempts_per_sec",),
     "cluster": ("wolff_cluster_ms", "sw_bath_sweep_ms"),
 }
+
+
+def _gate(remaining, min_full, min_light):
+    """Budget gate for one arm: 'full' config, shrunk 'light' config
+    (VERDICT r4 #4 — degrade rather than starve), or 'skip' when even a
+    light run cannot fit the remaining wall budget."""
+    if remaining > min_full:
+        return "full"
+    if remaining > min_light:
+        return "light"
+    return "skip"
 
 
 def _starved_arms(final):
@@ -729,14 +763,19 @@ def main():
     problem, e_gs = _problem()
 
     # --- SA: the headline metric --------------------------------------
+    # If backend init already ate most of the budget (degraded tunnel),
+    # run the shrunk configuration rather than risking an SA-only line
+    # (VERDICT r4 #4: degrade, don't starve).
     t_arm = time.time()
+    sa_light = _remaining() < 120
     try:
-        rate, es, tau_q, info = _sa_arm(problem)
+        rate, es, tau_q, info = _sa_arm(problem, light=sa_light)
         _set(
             value=rate,
             vs_baseline=rate / BASELINE_FLIPS_PER_SEC,
             sa_slope_spread=info["slope_spread"],
             **({"sa_degraded": True} if info.get("degraded") else {}),
+            **({"sa_light_config": True} if sa_light else {}),
         )
         if e_gs is not None:
             _set(eps_res=float((es.mean() - e_gs) / problem.nspins),
@@ -749,24 +788,30 @@ def main():
     _emit()
 
     # --- throughput arms, one per remaining BASELINE.json config -------
-    # (name, arm fn, min remaining wall budget to start). The Pallas arms
-    # get generous gates: the remote Mosaic compile service is erratic.
+    # (name, arm fn, full-config min budget, light-config floor). The
+    # Pallas arms get generous full gates (the remote Mosaic compile
+    # service is erratic); below the full gate but above the floor the
+    # arm runs a shrunk configuration (smaller taus, 1 trial, flagged
+    # <name>_light_config) so a degrading tunnel still leaves a live
+    # point for every arm instead of starving the tail (VERDICT r4 #4).
     ARM_TABLE = (
-        ("piqmc", _piqmc_arm, 70),        # flagship P=40 local+global
-        ("svmc", _svmc_arm, 50),          # SVMC-TF rotors
-        ("piqmc_bath", _piqmc_bath_arm, 45),  # dissipative at benchmark P
-        ("pallas_sa", _pallas_arm, 240),
-        ("pallas_piqmc", _pallas_qmc_arm, 180),
-        ("pallas_svmc", _pallas_svmc_arm, 150),
-        ("pallas_piqmc_bath", _pallas_bath_arm, 120),
+        ("piqmc", _piqmc_arm, 70, 30),        # flagship P=40 local+global
+        ("svmc", _svmc_arm, 50, 25),          # SVMC-TF rotors
+        ("piqmc_bath", _piqmc_bath_arm, 45, 25),  # dissipative, benchmark P
+        ("pallas_sa", _pallas_arm, 240, 70),
+        ("pallas_piqmc", _pallas_qmc_arm, 180, 70),
+        ("pallas_svmc", _pallas_svmc_arm, 150, 60),
+        ("pallas_piqmc_bath", _pallas_bath_arm, 120, 60),
     )
-    for name, arm, min_rem in ARM_TABLE:
-        if _remaining() <= min_rem:
-            continue
+    for name, arm, min_rem, min_light in ARM_TABLE:
+        mode = _gate(_remaining(), min_rem, min_light)
+        if mode == "skip":
+            continue  # truly out of budget; _starved_arms names it honestly
+        light = mode == "light"
         t_arm = time.time()
         try:
             if name == "piqmc":
-                rate, es, tau_q, info = arm(problem)
+                rate, es, tau_q, info = arm(problem, light=light)
                 _set(piqmc_slope_spread=info["slope_spread"])
                 if e_gs is not None:
                     # flagship-path quality gate (VERDICT r3 #7)
@@ -777,18 +822,23 @@ def main():
                         piqmc_eps_res_tau=tau_q,
                     )
             else:
-                rate, info = arm(problem)
+                rate, info = arm(problem, light=light)
             _set(**{f"{name}_attempts_per_sec": rate},
-                 **({f"{name}_degraded": True} if info.get("degraded") else {}))
+                 **({f"{name}_degraded": True} if info.get("degraded") else {}),
+                 **({f"{name}_light_config": True} if light else {}))
         except Exception as e:  # noqa: BLE001
             _set(**{f"error_{name}": repr(e)[:200]})
         _set(**{f"{name}_arm_s": round(time.time() - t_arm, 1)})
         _emit()
 
     # --- cluster updates at benchmark scale (BASELINE config 5) --------
-    if _remaining() > 100:
+    if _remaining() > 35:
+        cluster_light = _remaining() <= 100
         try:
-            _set(**_cluster_arm(problem))
+            out = _cluster_arm(problem, light=cluster_light)
+            if cluster_light:
+                out["cluster_light_config"] = True
+            _set(**out)
         except Exception as e:  # noqa: BLE001
             _set(error_cluster=repr(e)[:200])
         _emit()

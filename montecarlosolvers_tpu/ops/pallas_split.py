@@ -42,10 +42,11 @@ tunnel is ~±30%; the remote Mosaic compile service is erratic (the
 same santoro-shape SA kernel compiled in 19 s and 8 min on different
 attempts), so bench.py keeps these as budget-gated extra arms.
 
-The dissipative kernel (anneal_lattice_qmc_bath_split, added during the
-2026-08-18 tunnel outage) is interpreter-validated (bitwise vs its
-pure-JAX oracle) but not yet hardware-timed; it is a budget-gated
-bench.py arm, so the first healthy-tunnel bench run measures it.
+The dissipative kernel (anneal_lattice_qmc_bath_split) is
+interpreter-validated (bitwise vs its pure-JAX oracle) AND
+hardware-timed as the bench.py pallas_piqmc_bath arm: 2.89e10 att/s in
+BENCH_r03 and 1.77e10 in the 2026-08-19 hardware-validated round-4 run
+(results/bench_hw_validated.json), both at P=40 benchmark scale.
 """
 
 from __future__ import annotations

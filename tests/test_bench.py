@@ -133,6 +133,27 @@ def test_starved_arms_full_run_is_clean():
     assert bench._starved_arms(final) == []
 
 
+def test_gate_degrades_before_skipping():
+    # VERDICT r4 #4: below the full gate an arm must run the shrunk
+    # configuration, not be skipped; only below the light floor may it skip
+    assert bench._gate(300.0, 240, 70) == "full"
+    assert bench._gate(100.0, 240, 70) == "light"
+    assert bench._gate(50.0, 240, 70) == "skip"
+    assert bench._gate(71.0, 240, 70) == "light"
+
+
+def test_every_arm_accepts_light_mode():
+    # the degrade path calls arm(problem, light=True); every arm in the
+    # table (and the SA/cluster arms outside it) must accept the kwarg
+    import inspect
+
+    for fn in (bench._sa_arm, bench._piqmc_arm, bench._svmc_arm,
+               bench._piqmc_bath_arm, bench._pallas_arm,
+               bench._pallas_qmc_arm, bench._pallas_svmc_arm,
+               bench._pallas_bath_arm, bench._cluster_arm):
+        assert "light" in inspect.signature(fn).parameters, fn.__name__
+
+
 def test_starved_arms_names_every_missing_arm():
     # the 2026-08-19 18:34 failure mode: SA measured, everything after
     # starved by a degrading tunnel — every later arm must be named
