@@ -117,6 +117,49 @@ def random_2d_lattice(L, rng=None, dist="gauss", with_fields=False, maxnb=None,
     return problem, (rows, cols, vals)
 
 
+def random_3d_lattice(L, rng=None, dist="pm1", periodic=True):
+    """3D Edwards-Anderson spin glass: L x L x L cubic lattice, random
+    couplings (dist: 'pm1' bimodal +/-J — the classic EA model with
+    T_c ~ 1.1 — or 'gauss', T_c ~ 0.95), periodic by default.
+
+    This is the canonical landscape where replica cluster moves
+    (Houdayer/ICM, solvers.pt.sample_icm) are known to pay: q = -1
+    overlap domains stay non-percolating well below T_c in 3D, unlike
+    ferromagnet-style FK clusters (results/cluster_value). Returns
+    (problem, (rows, cols, vals)) with a degree-6 generic IsingProblem
+    (greedy-colored; 2 colors on the even-L periodic / any open lattice).
+    """
+    rng = np.random.default_rng(rng)
+    n = L * L * L
+
+    def node(x, y, z):
+        return (x * L + y) * L + z
+
+    rows, cols = [], []
+    for x in range(L):
+        for y in range(L):
+            for z in range(L):
+                i = node(x, y, z)
+                for dx, dy, dz in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                    xx, yy, zz = x + dx, y + dy, z + dz
+                    if periodic:
+                        rows.append(i)
+                        cols.append(node(xx % L, yy % L, zz % L))
+                    elif xx < L and yy < L and zz < L:
+                        rows.append(i)
+                        cols.append(node(xx, yy, zz))
+    rows = np.array(rows, dtype=np.int64)
+    cols = np.array(cols, dtype=np.int64)
+    if dist == "pm1":
+        vals = rng.choice([-1.0, 1.0], size=rows.shape)
+    elif dist == "gauss":
+        vals = rng.normal(size=rows.shape)
+    else:
+        raise ValueError(dist)
+    problem = IsingProblem.from_edges(n, rows, cols, vals, maxnb=6)
+    return problem, (rows, cols, vals)
+
+
 def random_graph(nspins, nedges, rng=None, with_fields=False):
     """Random sparse graph instance for property tests."""
     rng = np.random.default_rng(rng)

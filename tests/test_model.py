@@ -141,6 +141,45 @@ class TestColoring:
                 assert colors[k] != colors[(k + 1) % p]
 
 
+class TestEA3D:
+    def test_edge_count_and_degree(self, rng):
+        L = 4
+        prob, (rows, cols, vals) = instances.random_3d_lattice(L, rng=rng)
+        n = L ** 3
+        assert prob.nspins == n
+        assert rows.shape[0] == 3 * n  # periodic cubic: 3 bonds per site
+        deg = np.zeros(n, dtype=int)
+        np.add.at(deg, rows, 1)
+        np.add.at(deg, cols, 1)
+        assert (deg == 6).all()
+
+    def test_even_L_periodic_is_bipartite(self, rng):
+        prob, _ = instances.random_3d_lattice(4, rng=rng)
+        assert prob.num_colors == 2
+
+    def test_energy_matches_dense_oracle(self, rng):
+        L = 3  # odd L periodic: odd cycles, exercises the >2-color path
+        prob, (rows, cols, vals) = instances.random_3d_lattice(
+            L, rng=rng, dist="gauss"
+        )
+        J = instances.dense_matrix(L ** 3, rows, cols, vals)
+        s = rng.choice([-1.0, 1.0], size=L ** 3)
+        e_lib = float(prob.energy(jnp.asarray(s, dtype=jnp.float32)))
+        e_ref = classical_ising_energy(s, J)
+        assert np.isclose(e_lib, e_ref, rtol=1e-5, atol=1e-4)
+        colors = np.argmax(np.asarray(prob.color_masks), axis=0)
+        for a, b in zip(rows, cols):
+            assert colors[a] != colors[b]
+
+    def test_open_boundaries(self, rng):
+        L = 3
+        prob, (rows, cols, _) = instances.random_3d_lattice(
+            L, rng=rng, periodic=False
+        )
+        assert rows.shape[0] == 3 * L ** 2 * (L - 1)
+        assert prob.num_colors == 2  # open cubic lattice is bipartite
+
+
 class TestConversions:
     def test_bits_spins_roundtrip(self):
         bits = jnp.array([0, 1, 1, 0])
