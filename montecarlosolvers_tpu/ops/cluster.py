@@ -484,27 +484,42 @@ def sw_bath_sweep(problem, confs, key, temp, gamma, b, lookuptable,
 # Classical Swendsen-Wang (beyond reference: qmc.pyx clusters are PIQMC-only)
 # --------------------------------------------------------------------------
 
-def _label_components(active_full, nbr_idx, init=None):
+def _label_components(active_full, nbr_idx, init=None, jump_every=0):
     """Connected-component labels of the active spatial bond graph.
 
-    Pure min-label relaxation: each round pulls the minimum neighbor
-    label across active bonds until the fixed point (each component's
-    minimum index), one round per hop of the largest component's
-    eccentricity — the same cost model as the Wolff frontier BFS, but
-    labeling EVERY component in the one pass.
+    Min-label relaxation: each round pulls the minimum neighbor label
+    across active bonds until the fixed point (each component's minimum
+    index), one round per hop of the largest component's eccentricity —
+    the same cost model as the Wolff frontier BFS, but labeling EVERY
+    component in the one pass.
 
-    Deliberately no pointer jumping: `labels[labels]` is a 1-D dynamic
-    gather, which the TPU scatter/gather unit serializes — measured
-    ~0.2-1.5 ms per jump at N=1024-4096 versus ~30 us for a whole relax
-    round over the static-shape neighbor-table gather (v5e; adding two
-    jumps per round made the sweep 11x SLOWER despite halving the round
-    count). Relaxation keeps all work in wide vector gathers.
+    jump_every=0 (the SW/Wolff default): pure relaxation, no pointer
+    jumping — `labels[labels]` is a 1-D dynamic gather, which the TPU
+    scatter/gather unit serializes (~0.2-1.5 ms per jump at N=1024-4096
+    versus ~30 us for a whole relax round over the static-shape
+    neighbor-table gather; adding jumps every round made the SW sweep
+    11x SLOWER at the small component diameters FK draws produce).
+
+    jump_every=k>0: k relax rounds then two pointer jumps per while
+    iteration — Shiloach-Vishkin-style shortcutting that converges in
+    O(k + log diameter) iterations instead of O(diameter) rounds.
+    Measured HARDER at percolating-domain shapes too (v5e 2026-08-20,
+    M=48 rungs, N=6400, q = -1 fraction ~0.5, 100-160 relax rounds):
+    relax-only 44 ms vs 147-343 ms for k=8..2 — the batched 1-D dynamic
+    gather of one jump costs more than dozens of relax rounds, so the
+    option exists for exotic graphs (diameter >> 1000) but no in-repo
+    caller uses it. Regular-grid problems should use
+    _label_components_grid instead (rolls; 23 -> 5.4 ms/phase measured).
+    Exact either way: labels only decrease, always point into their own
+    component, and any relax-stable labeling is constant per component,
+    so the fixed point is unchanged.
 
     active_full: (N, maxnb) bool, symmetrized; returns (N,) int32.
     init: optional (N,) int32 starting labels (default arange). Seeding
       sites with -1 marks them (and, after relaxation, their whole
       component) frozen — the ghost-spin field construction rides the
-      same relax loop instead of a separate scatter-by-label.
+      same relax loop instead of a separate scatter-by-label; jumps
+      preserve the marker (-1 is absorbing under both passes).
     """
     nspins = nbr_idx.shape[0]
     if init is None:
@@ -514,13 +529,30 @@ def _label_components(active_full, nbr_idx, init=None):
         labels, changed = state
         return changed
 
+    def _relax(labels):
+        nb_lab = jnp.where(active_full, labels[nbr_idx], nspins)
+        return jnp.minimum(labels, jnp.min(nb_lab, axis=-1))
+
     def body(state):
         labels, _ = state
-        nb_lab = jnp.where(active_full, labels[nbr_idx], nspins)
-        new = jnp.minimum(labels, jnp.min(nb_lab, axis=-1))
+        new = _relax(labels)
         return new, jnp.any(new != labels)
 
-    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    def body_jump(state):
+        labels, _ = state
+        new = labels
+        for _ in range(jump_every):
+            new = _relax(new)
+        for _ in range(2):
+            # pointer jump; -1 (frozen) is absorbing: a frozen site stays
+            # frozen, a site pointing at a frozen one becomes frozen
+            new = jnp.where(new < 0, -1, new[jnp.maximum(new, 0)])
+        new = _relax(new)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(
+        cond, body_jump if jump_every else body, (init, jnp.bool_(True))
+    )
     return labels
 
 
@@ -575,7 +607,127 @@ def classical_sw_sweep(problem, s, key, temp):
     return jnp.where(flip, -s, s)
 
 
-def houdayer_sweep(problem, s1, s2, key):
+def grid_bonds_from_edges(shape, rows, cols, vals):
+    """Per-axis bond masks for a k-D grid instance, host-side.
+
+    For a problem whose sites are a C-order raveled `shape` grid and
+    whose every edge connects x to x+1 (mod L_a) along exactly one axis
+    a (open or periodic — e.g. models/instances.random_2d_lattice /
+    random_3d_lattice), returns a tuple of k bool arrays, one per axis,
+    where mask_a[x] = True iff the bond (x, x+e_a) exists with a nonzero
+    coupling. This is the static input of houdayer_sweep_grid /
+    _label_components_grid — the roll-based labeler that replaces the
+    (N, maxnb) gather relax with lane shifts (slope-measured 23 ms ->
+    5.4 ms per Houdayer phase at N=6400, M=48 rungs, v5e 2026-08-20; at
+    L=10 3D, N=1000, both labelers sit below dispatch noise).
+
+    Raises ValueError on any edge that is not a unit grid step (fields,
+    i.e. rows == cols diagonal entries, are ignored — Houdayer moves are
+    field-agnostic: the flip is isoenergetic for the pair regardless).
+    """
+    shape = tuple(int(s) for s in shape)
+    masks = [np.zeros(shape, dtype=bool) for _ in shape]
+    for a, b, v in zip(np.asarray(rows), np.asarray(cols), np.asarray(vals)):
+        if a == b or v == 0.0:
+            continue
+        ia = np.unravel_index(int(a), shape)
+        ib = np.unravel_index(int(b), shape)
+        hit = None
+        for ax in range(len(shape)):
+            d = (ib[ax] - ia[ax]) % shape[ax]
+            if d == 0:
+                continue
+            rest_equal = all(
+                ia[o] == ib[o] for o in range(len(shape)) if o != ax
+            )
+            if d == 1 and rest_equal:
+                hit = (ax, ia)
+            elif d == shape[ax] - 1 and rest_equal:
+                hit = (ax, ib)
+            else:
+                hit = None
+                break
+        if hit is None:
+            raise ValueError(f"edge ({a},{b}) is not a unit grid step")
+        masks[hit[0]][hit[1]] = True
+    return tuple(jnp.asarray(m) for m in masks)
+
+
+def _label_components_grid(bond_masks, init, rounds_per_check=8):
+    """Connected-component labels on a k-D grid bond graph via roll-based
+    min-label relaxation — the TPU-native form of _label_components for
+    regular grids: each round is 4k lane-shift rolls + mins instead of an
+    (N, maxnb) gather, which the scatter/gather unit serializes. Slope-
+    measured on the percolating overlap domains Houdayer produces
+    (q = -1 fraction ~0.5, 100-160 relax rounds): 5.4 ms/phase vs the
+    gather relax's 23 ms at (M=48, N=6400) on v5e 2026-08-20. Pointer
+    jumping was also measured (3-8x SLOWER overall at the same shapes
+    despite the round-count win — one batched 1-D dynamic gather costs
+    more than dozens of roll rounds), hence plain relaxation with
+    `rounds_per_check` rounds per convergence test.
+
+    bond_masks: tuple over axes of bool grids, mask_a[x] = bond
+      (x, x+e_a mod L_a) active. Wrap entries False for open boundaries.
+    init: int32 label grid (leading batch axes allowed; axes are counted
+      from the trailing len(bond_masks) dims). -1 is absorbing (frozen).
+    Returns labels at the fixed point (component minimum, grid-shaped).
+    """
+    k = len(bond_masks)
+    big = jnp.int32(np.prod(bond_masks[0].shape, dtype=np.int64))
+
+    def relax(lab):
+        off = lab.ndim - k
+        m = lab
+        for ax, mask in enumerate(bond_masks):
+            axis = off + ax
+            fwd = jnp.where(mask, jnp.roll(lab, -1, axis), big)
+            bwd = jnp.where(
+                jnp.roll(mask, 1, ax), jnp.roll(lab, 1, axis), big
+            )
+            m = jnp.minimum(m, jnp.minimum(fwd, bwd))
+        return m
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lab, _ = state
+        new = lab
+        for _ in range(rounds_per_check):
+            new = relax(new)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+    return labels
+
+
+def houdayer_sweep_grid(bond_masks, s1, s2, key):
+    """Houdayer isoenergetic cluster move on a regular grid — identical
+    statistics to houdayer_sweep (same q = -1 domain decomposition, same
+    fair coin per component; see its docstring for the exactness
+    argument) with the labeling done by _label_components_grid rolls.
+
+    bond_masks: from grid_bonds_from_edges (or LatticeProblem planes).
+    s1, s2: (N,) float +/-1, C-order raveled grid (vmap over leading
+      axes for rung ladders). Returns (s1', s2', flipped (N,) bool).
+    """
+    shape = bond_masks[0].shape
+    n = s1.shape[-1]
+    q_neg = ((s1 * s2) < 0).reshape(shape)
+    active = tuple(
+        m & q_neg & jnp.roll(q_neg, -1, ax)
+        for ax, m in enumerate(bond_masks)
+    )
+    init = jnp.where(
+        q_neg, jnp.arange(n, dtype=jnp.int32).reshape(shape), jnp.int32(n)
+    )
+    labels = _label_components_grid(active, init).reshape((n,))
+    coins = jax.random.bernoulli(key, 0.5, (n + 1,))
+    flip = q_neg.reshape((n,)) & jnp.take(coins, jnp.minimum(labels, n))
+    return jnp.where(flip, -s1, s1), jnp.where(flip, -s2, s2), flip
+
+
+def houdayer_sweep(problem, s1, s2, key, jump_every=0):
     """Isoenergetic (Houdayer) cluster move between two replicas sampled
     at the SAME temperature — the replica-cluster update the spin-glass
     literature adopted after ferromagnet-style FK clusters were shown to
@@ -602,6 +754,12 @@ def houdayer_sweep(problem, s1, s2, key):
     problem: generic IsingProblem (LatticeProblems: convert via
       to_generic, as solvers.sa.anneal_sw does).
     s1, s2: (N,) float +/-1 — vmap over leading axes for rung ladders.
+    jump_every: pointer-jump cadence for the labeling (see
+      _label_components; default 0 = pure relax, which measured fastest
+      even on percolating overlap domains). Regular-grid problems get a
+      ~4x cheaper phase from houdayer_sweep_grid (roll-based labeling,
+      23 -> 5.4 ms at M=48 N=6400); sample_icm routes there
+      automatically for LatticeProblems.
     Returns (s1', s2', flipped (N,) bool).
     """
     q_neg = (s1 * s2) < 0  # (N,)
@@ -609,7 +767,8 @@ def houdayer_sweep(problem, s1, s2, key):
     active = (
         adj & q_neg[:, None] & jnp.take(q_neg, problem.nbr_idx, axis=0)
     )
-    labels = _label_components(active, problem.nbr_idx)
+    labels = _label_components(active, problem.nbr_idx,
+                               jump_every=jump_every)
     coins = jax.random.bernoulli(key, 0.5, (problem.nspins,))
     flip = q_neg & jnp.take(coins, labels, axis=0)
     return jnp.where(flip, -s1, s1), jnp.where(flip, -s2, s2), flip

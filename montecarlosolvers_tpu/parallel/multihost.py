@@ -76,10 +76,22 @@ def dcn_mesh(disorder=None, chains=None, devices=None):
                 f"disorder={disorder} must be a multiple of the process "
                 f"count {nproc} so each realization group stays on one host"
             )
-        dev = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(disorder // nproc, chains),
-            dcn_mesh_shape=(nproc, 1),
-        )
+        try:
+            dev = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(disorder // nproc, chains),
+                dcn_mesh_shape=(nproc, 1),
+            )
+        except ValueError:
+            # Devices without slice topology (CPU backends — the
+            # multi-process validation harness, tests/multihost_worker.py)
+            # carry no slice_index for the hybrid builder to group by.
+            # Group by process explicitly: disorder-major rows = each
+            # process's local devices, the same DCN-outer layout the
+            # hybrid builder produces on pods.
+            devs = sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)
+            )
+            dev = np.array(devs).reshape(disorder, chains)
         return Mesh(dev, axis_names=("disorder", "chains"))
     devices = np.asarray(devices if devices is not None else jax.devices())
     if disorder is None:
@@ -92,13 +104,27 @@ def dcn_mesh(disorder=None, chains=None, devices=None):
     )
 
 
+def _gput(x, sharding):
+    """device_put that also works on multi-process (non-addressable)
+    shardings: every process passes the SAME full host value and
+    make_array_from_callback places each process's addressable pieces —
+    the standard host-local -> global construction for DCN meshes."""
+    try:
+        return jax.device_put(x, sharding)
+    except ValueError:
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+
 def shard_disorder_problem(stacked, mesh):
     """Place a stacked problem's per-realization leaves (nbr_J, h) on the
     "disorder" mesh axis; topology leaves stay replicated."""
     import dataclasses
 
     def put(x, spec):
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _gput(x, NamedSharding(mesh, spec))
 
     return dataclasses.replace(
         stacked,
@@ -127,7 +153,17 @@ def run_disorder_sharded(solver_fn, problems, sched, states, keys, mesh,
     stacked, axes = stack_problems(problems)
     stacked = shard_disorder_problem(stacked, mesh)
     spec = P("disorder", "chains", *([None] * (states.ndim - 2)))
-    states = jax.device_put(states, NamedSharding(mesh, spec))
-    keys = jax.device_put(keys, NamedSharding(mesh, P("disorder")))
-    run = vmap_disorder(solver_fn, axes, extra_axes=(None,) * len(extra_args))
-    return run(stacked, sched, *extra_args, states, keys)
+    states = _gput(states, NamedSharding(mesh, spec))
+    # typed key arrays cannot ride make_array_from_callback on a
+    # multi-process mesh; shard the raw key DATA and rebuild the typed
+    # keys inside the jitted region (wrap(key_data(k)) == k bitwise)
+    kd = _gput(jax.random.key_data(keys),
+               NamedSharding(mesh, P("disorder", None)))
+
+    def fn(problem, sched, *rest):
+        *extra_state, kdata = rest
+        return solver_fn(problem, sched, *extra_state,
+                         jax.random.wrap_key_data(kdata))
+
+    run = vmap_disorder(fn, axes, extra_axes=(None,) * len(extra_args))
+    return run(stacked, sched, *extra_args, states, kd)

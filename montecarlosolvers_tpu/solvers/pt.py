@@ -300,7 +300,8 @@ def sample_piqmc(problem, gammas, temp, confs, key, nsweeps, b=1.0,
 
 
 def sample_icm(problem, temps, states, key, nsweeps, swap_every=1,
-               houdayer_every=2, collect_energy=False, per_pair_rates=False):
+               houdayer_every=2, collect_energy=False, per_pair_rates=False,
+               grid_bonds=None):
     """Isoenergetic cluster moves + parallel tempering (ICM,
     Zhu-Ochoa-Katzgraber 2015): TWO independent PT ladders run side by
     side, and every `houdayer_every` sweeps the same-rung replica pair
@@ -317,7 +318,16 @@ def sample_icm(problem, temps, states, key, nsweeps, swap_every=1,
         component and the move degenerates to a global flip).
       temps: (M,) temperature ladder.
       states: (2, M, N) — one configuration per ladder per rung.
-      houdayer_every: cluster-move cadence (sweeps).
+      houdayer_every: cluster-move cadence (sweeps). 0 disables the
+        cluster moves entirely — the two ladders then run as independent
+        PT through the exact same code path, which is the honest
+        equal-everything baseline for measuring what the Houdayer phases
+        buy (bench/icm_value.py).
+      grid_bonds: optional per-axis bond masks for regular-grid
+        instances (ops/cluster.grid_bonds_from_edges) — routes the
+        Houdayer labeling through the roll-based grid labeler
+        (slope-measured 23 -> 5.4 ms per phase at M=48, N=6400). Built
+        automatically for LatticeProblems from their coupling planes.
 
     Returns:
       (states (2, M, N) rung-ordered, swap_rate, houdayer_flip_frac
@@ -328,11 +338,15 @@ def sample_icm(problem, temps, states, key, nsweeps, swap_every=1,
 
     if isinstance(problem, DenseProblem):
         raise ValueError("sample_icm needs a sparse/lattice problem")
+    if grid_bonds is None and hasattr(problem, "j_right"):
+        # LatticeProblem: the coupling planes ARE the per-axis bond masks
+        grid_bonds = (problem.j_down != 0.0, problem.j_right != 0.0)
     gp = problem.to_generic() if hasattr(problem, "j_right") else problem
     return _icm_impl(
         problem, gp, jnp.asarray(temps), states, key, int(nsweeps),
         int(swap_every), int(houdayer_every), bool(collect_energy),
         bool(per_pair_rates), split_ops.supports_split(problem),
+        grid_bonds,
     )
 
 
@@ -340,9 +354,20 @@ def sample_icm(problem, temps, states, key, nsweeps, swap_every=1,
                                    "collect_energy", "per_pair_rates",
                                    "use_split"))
 def _icm_impl(problem, gp, temps, states, key, nsweeps, swap_every,
-              houdayer_every, collect_energy, per_pair_rates, use_split):
+              houdayer_every, collect_energy, per_pair_rates, use_split,
+              grid_bonds=None):
     from montecarlosolvers_tpu.ops import split as split_ops
-    from montecarlosolvers_tpu.ops.cluster import houdayer_sweep
+    from montecarlosolvers_tpu.ops.cluster import (
+        houdayer_sweep,
+        houdayer_sweep_grid,
+    )
+
+    if grid_bonds is not None:
+        def _houdayer(a, c, kk):
+            return houdayer_sweep_grid(grid_bonds, a, c, kk)
+    else:
+        def _houdayer(a, c, kk):
+            return houdayer_sweep(gp, a, c, kk)
 
     M = temps.shape[0]
     keys = jax.random.split(key, nsweeps)
@@ -407,22 +432,25 @@ def _icm_impl(problem, gp, temps, states, key, nsweeps, swap_every,
             lambda r: (r, jnp.zeros((2, M), bool)), ror,
         )
 
-        do_h = (i % houdayer_every) == 0
-
         def with_h(state):
             full = _unpack(state)  # (2, M, N)
             r1 = full[0][ror[0]]  # rung-aligned pairs
             r2 = full[1][ror[1]]
-            r1n, r2n, flips = jax.vmap(
-                lambda a, c, kk: houdayer_sweep(gp, a, c, kk)
-            )(r1, r2, jax.random.split(k3, M))
+            r1n, r2n, flips = jax.vmap(_houdayer)(
+                r1, r2, jax.random.split(k3, M)
+            )
             lab = _inv(ror)
             full = jnp.stack([r1n[lab[0]], r2n[lab[1]]])
             return _pack(full), flips.mean()
 
-        state, hfrac = jax.lax.cond(
-            do_h, with_h, lambda s: (s, jnp.float32(0.0)), state,
-        )
+        if houdayer_every:  # static: 0 compiles the PT-only baseline
+            do_h = (i % houdayer_every) == 0
+            state, hfrac = jax.lax.cond(
+                do_h, with_h, lambda s: (s, jnp.float32(0.0)), state,
+            )
+        else:
+            do_h = jnp.bool_(False)
+            hfrac = jnp.float32(0.0)
         attempted = do_swap & (idx % 2 == parity) & (idx + 1 < M)
         e = (
             jnp.take_along_axis(_energy(state), ror, axis=1)
