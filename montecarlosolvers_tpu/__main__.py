@@ -22,7 +22,7 @@ import numpy as np
 # --help does not pay the jax import.
 SOLVE_METHODS = ("sa", "sa_wolff", "sa_sw",
                  "piqmc", "piqmc_wolff", "piqmc_sw", "piqmc_sw_full",
-                 "svmc", "pt", "icm", "pa")
+                 "svmc", "pt", "icm", "pa", "paq")
 
 
 def _build_problem(args):

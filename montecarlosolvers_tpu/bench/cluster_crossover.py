@@ -256,19 +256,31 @@ def main(outdir="results/cluster_value", Ls=(32,), P=4, gamma=0.1, chains=16,
                 name = f"{tag}_{arm}_L{L}"
                 # cluster arms decorrelate in a few sweeps — a quarter
                 # trace estimates their tau as well as the full trace
-                # estimates the local arm's
-                ns = nsweeps if we == 0 else max(nsweeps // 4, 8192)
+                # estimates the local arm's; at L=128 a critical cluster
+                # sweep costs ~0.1-0.2 s (flip_frac ~0.4 of 4*L^2 sites),
+                # so the cluster trace shrinks further and the burn drops
+                # to ~100x its own tau (cluster arms equilibrate in a few
+                # sweeps)
+                if we == 0:
+                    ns, bn = nsweeps, 2048
+                elif L <= 64:
+                    ns, bn = max(nsweeps // 4, 8192), 2048
+                else:
+                    ns, bn = 2048, 512
                 # keep a single device dispatch well under the remote
                 # tunnel's ~90 s crash threshold: cluster sweeps cost
-                # ~L*N BFS work each (5 ms at L=32, ~25 ms at L=64)
-                ck = 2048 if (we == 0 or L <= 32) else 256
+                # ~L*N BFS work each (5 ms at L=32, ~25 ms at L=64,
+                # ~0.15 s at L=128)
+                ck = 2048 if (we == 0 or L <= 32) else (
+                    256 if L <= 64 else 64
+                )
                 kp = jax.random.fold_in(key, zlib.crc32(name.encode()) & 0x7FFFFFFF)
                 record(name, lambda we=we, temp=temp, kp=kp, ns=ns,
-                       ck=ck, problem=problem: dict(zip(
+                       ck=ck, bn=bn, problem=problem: dict(zip(
                     ("tau_int_sweeps", "wall_per_sweep_s", "mean_m2",
                      "flip_frac"),
                     run_arm(problem, temp, gamma, chains, ns, kp,
-                            wolff_every=we, P=P, chunk=ck),
+                            wolff_every=we, P=P, chunk=ck, burn=bn),
                 )))
 
     _summary(done)

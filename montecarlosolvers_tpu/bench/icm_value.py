@@ -9,16 +9,19 @@ landscape never rewards them. The spin-glass literature's claim
 droplets that local+exchange dynamics cannot cross. This experiment
 measures that claim on TPU at equal WALL-CLOCK:
 
-  * Instances: 3D EA +/-J, L in {8, 10} periodic (models/instances.
-    random_3d_lattice), several disorder seeds. T_c ~ 1.1; the ladder's
-    cold end sits far below (0.3). SK is deliberately excluded: on a
-    complete graph the q = -1 overlap domain is a single component, so
-    the Houdayer move degenerates to a relabeling (sample_icm docstring)
-    — there is no sparse structure for the cluster to exploit.
-  * Arms per instance: ICM at Houdayer cadences {2, 8, 32} sweeps, and
-    the PT-only baseline = the SAME sampler with houdayer_every=0 (the
-    two ladders run independent PT through the identical code path, so
-    the Houdayer phases are the ONLY difference).
+  * Instances: 3D EA +/-J, L in {8, 10, 12, 14} periodic
+    (models/instances.random_3d_lattice), several disorder seeds with
+    several independent repetitions each (hitting times are
+    heavy-tailed). T_c ~ 1.1; the ladder's cold end sits far below
+    (0.3). SK is deliberately excluded: on a complete graph the q = -1
+    overlap domain is a single component, so the Houdayer move
+    degenerates to a relabeling (sample_icm docstring) — there is no
+    sparse structure for the cluster to exploit.
+  * Arms per instance: ICM at Houdayer cadences {2, 8, 32} sweeps
+    ({8, 32} at the frontier size), and the PT-only baseline = the SAME
+    sampler with houdayer_every=0 (the two ladders run independent PT
+    through the identical code path, so the Houdayer phases are the
+    ONLY difference).
   * Equal wall: every arm runs in SEG-sweep segments with per-segment
     cumulative best energy and wall recorded; the PT baseline runs until
     it has covered the slowest ICM arm's wall, so any ICM point can be
@@ -51,12 +54,21 @@ from montecarlosolvers_tpu.solvers import sa, pt
 from montecarlosolvers_tpu.bench._common import make_recorder
 
 
-L_SIZES = (8, 10)
-SEEDS = (0, 1, 2)
+L_SIZES = (8, 10, 12, 14)
+SEEDS_BY_L = {8: (0, 1, 2, 3, 4), 10: (0, 1, 2, 3, 4),
+              12: (0, 1, 2, 3, 4), 14: (0, 1, 2)}
 RUNGS = 24
 SEG = 500            # sweeps per segment (one device dispatch)
-ICM_SEGS = 8         # 4000 sweeps per ICM arm
-CADENCES = (2, 8, 32)
+# deeper runs for the harder sizes (per-L segment count)
+ICM_SEGS = {8: 8, 10: 12, 12: 36, 14: 48}
+# cadence h2 pays double cluster overhead; at the frontier size keep the
+# cadences the smaller sizes showed to be competitive
+CADENCES_BY_L = {8: (2, 8, 32), 10: (2, 8, 32), 12: (2, 8, 32),
+                 14: (8, 32)}
+# independent repetitions per (instance, arm): ground-state hitting times
+# are heavy-tailed, so single runs flip-flop between winners; the verdict
+# aggregates PAIRED (icm, pt) hitting times over seeds x reps
+REPS = {8: 1, 10: 3, 12: 5, 14: 2}
 T_COLD, T_HOT = 0.3, 1.6
 
 
@@ -121,83 +133,127 @@ def run_instance(L, seed, key, record):
         return
     temps = jnp.asarray(tune["temps"], jnp.float32)
 
-    # --- ICM arms, one per cadence --------------------------------------
+    # --- ICM arms, one per cadence x rep --------------------------------
     max_wall = 0.0
-    for h in CADENCES:
-        def arm_icm(h=h):
-            # warm segment (compile) outside the recorded walls
+    for h in CADENCES_BY_L[L]:
+        for rep in range(REPS[L]):
+            def arm_icm(h=h, rep=rep):
+                # warm segment (compile) outside the recorded walls
+                _ = _run_segments(problem, temps, s0,
+                                  jax.random.fold_in(k_run, 9000 + h), 1, h,
+                                  grid_bonds=gb)
+                recs, _ = _run_segments(
+                    problem, temps, s0,
+                    jax.random.fold_in(k_run, 1000 * rep + h),
+                    ICM_SEGS[L], h, grid_bonds=gb,
+                )
+                return dict(segments=recs)
+
+            suffix = f"_r{rep}" if rep else ""
+            out = record(f"icm_h{h}_L{L}_s{seed}{suffix}", arm_icm)
+            if out:
+                max_wall = max(max_wall, out["segments"][-1]["wall_s"])
+
+    # --- PT baseline: same code path, no Houdayer, run to max ICM wall --
+    for rep in range(REPS[L]):
+        def arm_pt(rep=rep):
             _ = _run_segments(problem, temps, s0,
-                              jax.random.fold_in(k_run, 9000 + h), 1, h,
-                              grid_bonds=gb)
+                              jax.random.fold_in(k_run, 9999), 1, 0)
+            # cover the slowest ICM arm's wall with margin (cap the
+            # segment count so a mis-measured wall cannot run away)
             recs, _ = _run_segments(
-                problem, temps, s0, jax.random.fold_in(k_run, h),
-                ICM_SEGS, h, grid_bonds=gb,
+                problem, temps, s0,
+                jax.random.fold_in(k_run, 1000 * rep + 7),
+                n_segs=400, houdayer_every=0,
+                max_wall=max(max_wall * 1.1, 1.0),
             )
             return dict(segments=recs)
 
-        out = record(f"icm_h{h}_L{L}_s{seed}", arm_icm)
-        if out:
-            max_wall = max(max_wall, out["segments"][-1]["wall_s"])
+        suffix = f"_r{rep}" if rep else ""
+        record(f"pt_L{L}_s{seed}{suffix}", arm_pt)
 
-    # --- PT baseline: same code path, no Houdayer, run to max ICM wall --
-    def arm_pt():
-        _ = _run_segments(problem, temps, s0,
-                          jax.random.fold_in(k_run, 9999), 1, 0)
-        # cover the slowest ICM arm's wall with margin (cap the segment
-        # count so a mis-measured wall cannot run away)
-        recs, _ = _run_segments(
-            problem, temps, s0, jax.random.fold_in(k_run, 7),
-            n_segs=400, houdayer_every=0, max_wall=max(max_wall * 1.1, 1.0),
-        )
-        return dict(segments=recs)
 
-    record(f"pt_L{L}_s{seed}", arm_pt)
+def _arm_keys(done, prefix):
+    """All rep keys for an arm, rep 0 unsuffixed (resume-compat)."""
+    keys = [k for k in done
+            if k == prefix or k.startswith(prefix + "_r")]
+    return sorted(keys)
 
 
 def summarize(done):
-    """Equal-wall verdict per instance: for each ICM arm's final point,
-    PT's best energy at the same-or-larger wall."""
+    """Paired equal-wall verdict: per (L, cadence), every (seed, rep)
+    pairs one ICM run against one PT run with the same stream index;
+    the pair's winner is decided by ground-state hitting (reached/not,
+    then wall-to-reference at segment granularity). Heavy-tailed hitting
+    times make single runs flip-flop, so the verdict is the paired win
+    count plus median hitting walls over all pairs."""
     out = {}
     for L in L_SIZES:
-        for seed in SEEDS:
-            ptk = f"pt_L{L}_s{seed}"
-            if ptk not in done:
-                continue
-            pt_recs = done[ptk]["segments"]
-            arms = {}
-            e_ref = min(r["e_best"] for r in pt_recs)
-            for h in CADENCES:
-                k = f"icm_h{h}_L{L}_s{seed}"
-                if k in done:
-                    e_ref = min(
-                        e_ref, min(r["e_best"] for r in done[k]["segments"])
-                    )
-            n = L ** 3
-            for h in CADENCES:
-                k = f"icm_h{h}_L{L}_s{seed}"
-                if k not in done:
+        n = L ** 3
+        for h in CADENCES_BY_L[L]:
+            pairs = []
+            h_fracs = []
+            for seed in SEEDS_BY_L[L]:
+                pt_keys = _arm_keys(done, f"pt_L{L}_s{seed}")
+                icm_keys = _arm_keys(done, f"icm_h{h}_L{L}_s{seed}")
+                if not pt_keys or not icm_keys:
                     continue
-                last = done[k]["segments"][-1]
-                # PT's best at wall <= the ICM arm's wall (PT covered
-                # >= that wall, so take the last qualifying segment; if
-                # even PT's first segment exceeds it, use the first)
-                cand = [r for r in pt_recs if r["wall_s"] <= last["wall_s"]]
-                ptb = cand[-1] if cand else pt_recs[0]
-                arms[f"h{h}"] = dict(
-                    icm_eps=round((last["e_best"] - e_ref) / n, 6),
-                    pt_eps=round((ptb["e_best"] - e_ref) / n, 6),
-                    icm_wall=last["wall_s"],
-                    pt_wall=ptb["wall_s"],
-                    icm_sweeps=last["sweeps"],
-                    pt_sweeps=ptb["sweeps"],
-                    h_frac=done[k]["segments"][-1]["h_frac"],
-                    winner=(
-                        "icm" if last["e_best"] < ptb["e_best"]
-                        else "pt" if ptb["e_best"] < last["e_best"]
-                        else "tie"
-                    ),
-                )
-            out[f"L{L}_s{seed}"] = dict(e_ref=e_ref, arms=arms)
+                # instance reference energy: best ANY arm of ANY cadence
+                # ever found on this (L, seed)
+                e_ref = np.inf
+                tag = f"_L{L}_s{seed}"
+                for k, v in done.items():
+                    if (isinstance(v, dict) and "segments" in v
+                            and (k.endswith(tag) or f"{tag}_r" in k)):
+                        e_ref = min(
+                            e_ref, min(r["e_best"] for r in v["segments"])
+                        )
+
+                def wall_to_ref(recs):
+                    for rec in recs:
+                        if rec["e_best"] <= e_ref:
+                            return rec["wall_s"]
+                    return None
+
+                for ik, pk in zip(icm_keys, pt_keys):
+                    i_ttr = wall_to_ref(done[ik]["segments"])
+                    p_ttr = wall_to_ref(done[pk]["segments"])
+                    i_eps = (done[ik]["segments"][-1]["e_best"] - e_ref) / n
+                    p_eps = (done[pk]["segments"][-1]["e_best"] - e_ref) / n
+                    h_fracs.append(done[ik]["segments"][-1]["h_frac"])
+                    if i_ttr is not None and p_ttr is None:
+                        win = "icm"
+                    elif p_ttr is not None and i_ttr is None:
+                        win = "pt"
+                    elif i_ttr is not None and p_ttr is not None:
+                        win = ("icm" if i_ttr < p_ttr
+                               else "pt" if p_ttr < i_ttr else "tie")
+                    else:
+                        win = ("icm" if i_eps < p_eps
+                               else "pt" if p_eps < i_eps else "tie")
+                    pairs.append(dict(
+                        pair=f"s{len(pairs)}", icm_ttr=i_ttr, pt_ttr=p_ttr,
+                        icm_eps=round(i_eps, 6), pt_eps=round(p_eps, 6),
+                        winner=win,
+                    ))
+            if not pairs:
+                continue
+            wins = [p["winner"] for p in pairs]
+            i_hits = [p["icm_ttr"] for p in pairs if p["icm_ttr"] is not None]
+            p_hits = [p["pt_ttr"] for p in pairs if p["pt_ttr"] is not None]
+            out[f"L{L}_h{h}"] = dict(
+                pairs=len(pairs),
+                icm_wins=wins.count("icm"),
+                pt_wins=wins.count("pt"),
+                ties=wins.count("tie"),
+                icm_hit_frac=round(len(i_hits) / len(pairs), 3),
+                pt_hit_frac=round(len(p_hits) / len(pairs), 3),
+                icm_median_ttr=(round(float(np.median(i_hits)), 3)
+                                if i_hits else None),
+                pt_median_ttr=(round(float(np.median(p_hits)), 3)
+                               if p_hits else None),
+                h_frac_mean=round(float(np.mean(h_fracs)), 4),
+            )
     return out
 
 
@@ -215,7 +271,7 @@ def main(outdir="results/icm_value", budget_s=2400):
 
     key = jax.random.key(5)
     for L in L_SIZES:
-        for seed in SEEDS:
+        for seed in SEEDS_BY_L[L]:
             run_instance(L, seed, jax.random.fold_in(key, 100 * L + seed),
                          record)
 

@@ -221,6 +221,138 @@ def optimization_arms(problem, e_gs, key, done, record):
     record(f"opt_pt_matched_{ladders}x{rungs}", arm_pt_matched)
 
 
+def v2_arms(problem, e_gs, key, done, record):
+    """Round-5 arms (VERDICT r4 missing #2): adaptive-step PA, weighted
+    multi-run combining, and PA over the PIQMC extended ensemble."""
+    n = problem.nspins
+    k_init, k_ad, k_comb, k_q = jax.random.split(key, 4)
+    s0 = sa.random_state(k_init, n, batch=(REPLICAS,))
+
+    # --- adaptive dbeta (ESS-targeted) vs the fixed beta-linear grid ----
+    def arm_adaptive(beta_end, tag):
+        def run():
+            return pa.sample_adaptive(
+                problem, beta_end, s0, k_ad, target_frac=0.9,
+                mcsteps=MCSTEPS, max_steps=2 * SWEEPS,
+            )
+
+        # adaptive runs are not seed-replayable through `timed`'s best-of-2
+        # (same key reuses the same schedule); time two identical calls
+        import time as _t
+
+        states, log_z, stats = run()
+        jax.block_until_ready(states)
+        t0 = _t.time()
+        states, log_z, stats = run()
+        float(jnp.sum(states[..., 0]))
+        wall = _t.time() - t0
+        es = np.asarray(problem.energy(states))
+        return dict(
+            eps_cold=float((es.mean() - e_gs) / n),
+            eps_best=float((es.min() - e_gs) / n),
+            log_z_per_spin=float(log_z) / n + float(np.log(2.0)),
+            n_steps=stats["n_steps"],
+            reached=stats["reached"],
+            families=stats["families"],
+            min_ess_frac=float(stats["ess"].min()) / REPLICAS,
+            wall_s=round(wall, 3),
+        )
+
+    record("sampling_pa_adaptive", lambda: arm_adaptive(1.0 / T_COLD,
+                                                        "cold"))
+    record("opt_pa_adaptive", lambda: arm_adaptive(1.0 / T_OPT, "opt"))
+
+    # --- weighted combining of K independent runs -----------------------
+    def arm_combined(K=8):
+        temps_pa = pa.beta_linear(1.0 / T_COLD, SWEEPS, beta_start=0.0)
+        lzs, fams, means = [], [], []
+        for k in range(K):
+            sk = sa.random_state(jax.random.fold_in(k_comb, k), n,
+                                 batch=(REPLICAS,))
+            states, lz, stats = pa.sample(
+                problem, temps_pa, sk, jax.random.fold_in(k_comb, 100 + k),
+                mcsteps=MCSTEPS, beta0=0.0, collect_stats=True,
+            )
+            es = np.asarray(problem.energy(states))
+            lzs.append(float(lz))
+            fams.append(stats["families"])
+            means.append(float(es.mean()))
+        comb = pa.combine_runs(lzs, observables=means)
+        return dict(
+            runs=K,
+            eps_cold_combined=float((comb["observable"] - e_gs) / n),
+            eps_cold_per_run=[round((m - e_gs) / n, 6) for m in means],
+            log_z_per_spin=comb["log_z"] / n + float(np.log(2.0)),
+            run_ess=round(comb["run_ess"], 2),
+            families_per_run=fams,
+            families_combined=int(np.sum(fams)),
+        )
+
+    record("sampling_pa_combined_k8", arm_combined)
+
+    # --- PA x PIQMC: resampling over the extended ensemble --------------
+    from montecarlosolvers_tpu.solvers import qmc
+
+    R_Q, P_Q, S_Q = 256, 20, 1000
+    pt_temp = 1.0 / P_Q  # PT=1 benchmark convention
+
+    def arm_paq():
+        confs = jnp.where(
+            jax.random.bernoulli(k_q, 0.5, (R_Q, P_Q, n)), 1.0, -1.0
+        )
+        gammas = schedules.transverse_field(2.5, 1e-8, S_Q)
+
+        def run(seed):
+            return pa.sample_piqmc(
+                problem, gammas, pt_temp, confs,
+                jax.random.fold_in(k_q, seed), mcsteps=MCSTEPS,
+                global_moves=True, collect_stats=True,
+            )
+
+        (out, log_z, stats), wall = timed(lambda seed: run(seed))
+        es = np.asarray(qmc.best_slice_energy(problem, out))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            families=stats["families"],
+            min_ess_frac=float(np.asarray(stats["ess"]).min()) / R_Q,
+            resample_frac=float(np.asarray(stats["resampled"]).mean()),
+            wall_s=wall,
+            replicas=R_Q, slices=P_Q, steps=S_Q,
+        )
+
+    p = record("opt_paq", arm_paq)
+
+    # equal-wall plain PIQMC rematch (same population, no resampling)
+    if p:
+        def arm_piqmc_eq():
+            confs = jnp.where(
+                jax.random.bernoulli(k_q, 0.5, (R_Q, P_Q, n)), 1.0, -1.0
+            )
+
+            def run(tau, seed):
+                a = schedules.transverse_field(2.5, 1e-8, tau)
+                return qmc.anneal(
+                    problem, a, jnp.ones_like(a), pt_temp, confs,
+                    jax.random.fold_in(k_q, 500 + seed), global_moves=True,
+                )
+
+            # measure the per-step wall, then match PA x PIQMC's wall
+            out, w0 = timed(lambda seed: run(S_Q, seed))
+            tau_eq = max(S_Q, int(S_Q * p["wall_s"] / max(w0, 1e-9)))
+            if tau_eq > S_Q:
+                out, _ = timed(lambda seed: run(tau_eq, seed))
+            es = np.asarray(qmc.best_slice_energy(problem, out))
+            return dict(
+                eps_best=float((es.min() - e_gs) / n),
+                eps_mean=float((es.mean() - e_gs) / n),
+                tau=int(tau_eq),
+                wall_baseline_s=w0,
+            )
+
+        record("opt_piqmc_equalwall_for_paq", arm_piqmc_eq)
+
+
 def main(outdir="results/pa_value", budget_s=1200):
     from montecarlosolvers_tpu.utils.xla_cache import enable_persistent_cache
 
@@ -236,9 +368,10 @@ def main(outdir="results/pa_value", budget_s=1200):
     key = jax.random.key(23)
     record = make_recorder(path, done, budget_s=budget_s)
 
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     sampling_arms(problem, e_gs, k1, done, record)
     optimization_arms(problem, e_gs, k2, done, record)
+    v2_arms(problem, e_gs, k3, done, record)
     print(json.dumps(done, indent=2))
     return done
 

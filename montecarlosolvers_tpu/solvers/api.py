@@ -65,7 +65,10 @@ _METHOD_KW = {
     "svmc": {"field_start", "temp"},
     "pt": {"t_min", "t_max", "ladder"},
     "icm": {"t_min", "t_max", "ladder", "houdayer_every"},
-    "pa": {"beta_end", "mcsteps", "ess_threshold"},
+    "pa": {"beta_end", "mcsteps", "ess_threshold", "adaptive",
+           "target_frac"},
+    "paq": {"beta_end", "slices", "pt", "field_start", "mcsteps",
+            "ess_threshold"},
 }
 
 
@@ -116,8 +119,17 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
                 population size, annealed down a beta-linear schedule
                 from beta=0 (uniform random = exact equilibrium) with
                 per-step resampling; kw: beta_end=10.0, mcsteps=1,
-                ess_threshold=1.0. info carries the absolute ln Z
-                estimate and the minimum ESS fraction.
+                ess_threshold=1.0, adaptive=False (True: on-device
+                ESS-targeted dbeta steps via pa.sample_adaptive, with
+                target_frac=0.9 and `sweeps` as the step cap). info
+                carries the absolute ln Z estimate and the minimum ESS
+                fraction (+ n_steps/reached/families when adaptive).
+      "paq"   — quantum population annealing (pa.sample_piqmc):
+                num_reads path configurations (R, P, N) annealed down a
+                transverse-field schedule with extended-ensemble
+                resampling; kw: slices=20, pt=1.0, field_start=2.5,
+                mcsteps=1, ess_threshold=1.0. Returns each path's best
+                slice.
     """
     if method not in _METHOD_KW:
         raise ValueError(f"unknown method: {method}")
@@ -214,17 +226,58 @@ def solve(problem, method="sa", num_reads=64, sweeps=1000, seed=0, **kw):
         from montecarlosolvers_tpu.solvers import pa as pa_mod
 
         k_init, k_run = jax.random.split(key)
-        temps = pa_mod.beta_linear(kw.get("beta_end", 10.0), sweeps,
-                                   beta_start=0.0)
         states = sa_mod.random_state(k_init, n, batch=(num_reads,))
-        out, log_z, stats = pa_mod.sample(
-            problem, temps, states, k_run,
-            mcsteps=kw.get("mcsteps", 1), beta0=0.0,
-            ess_threshold=kw.get("ess_threshold", 1.0), collect_stats=True,
-        )
+        if kw.get("adaptive"):
+            out, log_z, stats = pa_mod.sample_adaptive(
+                problem, kw.get("beta_end", 10.0), states, k_run,
+                target_frac=kw.get("target_frac", 0.9),
+                mcsteps=kw.get("mcsteps", 1), max_steps=sweeps,
+            )
+            info["n_steps"] = stats["n_steps"]
+            info["reached"] = stats["reached"]
+            info["families"] = stats["families"]
+        else:
+            temps = pa_mod.beta_linear(kw.get("beta_end", 10.0), sweeps,
+                                       beta_start=0.0)
+            out, log_z, stats = pa_mod.sample(
+                problem, temps, states, k_run,
+                mcsteps=kw.get("mcsteps", 1), beta0=0.0,
+                ess_threshold=kw.get("ess_threshold", 1.0),
+                collect_stats=True,
+            )
         info["log_z"] = float(log_z) + pa_mod.uniform_log_z(n)
         info["min_ess_frac"] = float(np.asarray(stats["ess"]).min()) / num_reads
         return _finalize(problem, out, info)
+
+    if method == "paq":
+        from montecarlosolvers_tpu.solvers import pa as pa_mod
+
+        k_init, k_run = jax.random.split(key)
+        slices = kw.get("slices", 20)
+        pt_v = kw.get("pt", 1.0)
+        temp = pt_v / slices
+        confs = jnp.where(
+            jax.random.bernoulli(k_init, 0.5, (num_reads, slices, n)),
+            1.0, -1.0,
+        )
+        gammas = schedules.transverse_field(
+            kw.get("field_start", 2.5), 1e-8, sweeps
+        )
+        confs, log_z, stats = pa_mod.sample_piqmc(
+            problem, gammas, temp, confs, k_run,
+            mcsteps=kw.get("mcsteps", 1),
+            ess_threshold=kw.get("ess_threshold", 1.0),
+            global_moves=True, collect_stats=True,
+        )
+        info["families"] = stats["families"]
+        info["min_ess_frac"] = (
+            float(np.asarray(stats["ess"]).min()) / num_reads
+        )
+        # best slice per path configuration, reference readout convention
+        best = jax.vmap(
+            lambda c: c[jnp.argmin(problem.energy(c))]
+        )(confs)
+        return _finalize(problem, best, info)
 
     t_min, t_max = kw.get("t_min", 0.1), kw.get("t_max", 3.0)
     ladder = kw.get("ladder")

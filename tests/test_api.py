@@ -202,6 +202,23 @@ class TestPAMethod:
         with pytest.raises(TypeError):
             solve(prob, method="pa", t_min=0.1)
 
+    def test_pa_adaptive_reaches_ground_state(self, prob):
+        e_gs, _ = brute_force_ground(prob)
+        res = solve(prob, method="pa", num_reads=256, sweeps=400, seed=5,
+                    beta_end=6.0, adaptive=True, mcsteps=2)
+        assert res.best_energy <= e_gs + 1e-3
+        assert res.info["reached"]
+        assert 3 <= res.info["n_steps"] <= 400
+        assert 1 <= res.info["families"] <= 256
+
+    def test_paq_reaches_ground_state(self, prob):
+        e_gs, _ = brute_force_ground(prob)
+        res = solve(prob, method="paq", num_reads=64, sweeps=120, seed=6,
+                    slices=6, field_start=2.5)
+        assert len(res) == 64
+        assert res.best_energy <= e_gs + 1e-3
+        assert 0.0 < res.info["min_ess_frac"] <= 1.0
+
 
 class TestCLI:
     def test_cli_methods_match_solve_table(self):
