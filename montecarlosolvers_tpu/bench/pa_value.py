@@ -258,9 +258,80 @@ def v2_arms(problem, e_gs, key, done, record):
             wall_s=round(wall, 3),
         )
 
-    record("sampling_pa_adaptive", lambda: arm_adaptive(1.0 / T_COLD,
-                                                        "cold"))
-    record("opt_pa_adaptive", lambda: arm_adaptive(1.0 / T_OPT, "opt"))
+    a_cold = record("sampling_pa_adaptive", lambda: arm_adaptive(
+        1.0 / T_COLD, "cold"))
+    a_opt = record("opt_pa_adaptive", lambda: arm_adaptive(
+        1.0 / T_OPT, "opt"))
+
+    # The arms above run mcsteps=1 per adaptive step, so their TOTAL
+    # sweep budget is n_steps (~350-400) — an order below the fixed
+    # grid's SWEEPS. The fair comparison scales mcsteps so total sweeps
+    # match: the adaptive grid decides WHERE to resample, not how little
+    # to sweep.
+    def arm_adaptive_eq(beta_end, n_steps, tag):
+        m = max(1, SWEEPS // max(n_steps, 1))
+
+        def run():
+            return pa.sample_adaptive(
+                problem, beta_end, s0, jax.random.fold_in(k_ad, 1),
+                target_frac=0.9, mcsteps=m, max_steps=2 * SWEEPS,
+            )
+
+        import time as _t
+
+        states, log_z, stats = run()
+        jax.block_until_ready(states)
+        t0 = _t.time()
+        states, log_z, stats = run()
+        float(jnp.sum(states[..., 0]))
+        wall = _t.time() - t0
+        es = np.asarray(problem.energy(states))
+        return dict(
+            eps_cold=float((es.mean() - e_gs) / n),
+            eps_best=float((es.min() - e_gs) / n),
+            log_z_per_spin=float(log_z) / n + float(np.log(2.0)),
+            n_steps=stats["n_steps"],
+            mcsteps=m,
+            total_sweeps=REPLICAS * stats["n_steps"] * m,
+            families=stats["families"],
+            wall_s=round(wall, 3),
+        )
+
+    if a_cold:
+        record("sampling_pa_adaptive_eqsweeps",
+               lambda: arm_adaptive_eq(1.0 / T_COLD, a_cold["n_steps"],
+                                       "cold"))
+    ae = None
+    if a_opt:
+        ae = record("opt_pa_adaptive_eqsweeps",
+                    lambda: arm_adaptive_eq(1.0 / T_OPT, a_opt["n_steps"],
+                                            "opt"))
+
+    # SA restarts rematched to the adaptive arm's measured wall — the
+    # equal-WALL bar the round-4 study set (its SA tau6729 matched the
+    # fixed-grid PA arm; the adaptive arm's wall differs)
+    if ae:
+        def arm_sa_eq():
+            base = done.get(f"opt_sa_tau{SWEEPS}")
+            w_per_tau = (base["wall_s"] / base["tau"]) if base else None
+            tau = (int(ae["wall_s"] / w_per_tau) if w_per_tau
+                   else 3 * SWEEPS)
+
+            def run(seed):
+                return sa.anneal(
+                    problem, schedules.linear(3.0, 0.0, tau), s0,
+                    jax.random.fold_in(k_ad, 200 + seed)
+                )
+
+            states, wall = timed(lambda seed: run(seed))
+            es = np.asarray(problem.energy(states))
+            return dict(
+                eps_best=float((es.min() - e_gs) / n),
+                eps_mean=float((es.mean() - e_gs) / n),
+                wall_s=wall, tau=int(tau),
+            )
+
+        record("opt_sa_equalwall_for_adaptive", arm_sa_eq)
 
     # --- weighted combining of K independent runs -----------------------
     def arm_combined(K=8):
@@ -323,34 +394,79 @@ def v2_arms(problem, e_gs, key, done, record):
 
     p = record("opt_paq", arm_paq)
 
-    # equal-wall plain PIQMC rematch (same population, no resampling)
+    # Fixed-grid quantum PA collapses (measured: min ESS 0.4%, resample
+    # every step, 1 family) — the kinetic-term spread makes uniform
+    # Gamma steps wildly non-uniform in ensemble distance. The adaptive
+    # Gamma grid (sample_piqmc_adaptive) is the principled schedule; its
+    # step count measures how expensive exact extended-ensemble tracking
+    # IS at benchmark scale.
+    def arm_paq_adaptive():
+        confs = jnp.where(
+            jax.random.bernoulli(k_q, 0.5, (R_Q, P_Q, n)), 1.0, -1.0
+        )
+
+        def run():
+            return pa.sample_piqmc_adaptive(
+                problem, 2.5, 1e-3, pt_temp, confs,
+                jax.random.fold_in(k_q, 9), target_frac=0.8,
+                mcsteps=1, max_steps=4096, global_moves=True,
+            )
+
+        import time as _t
+
+        out, log_z, stats = run()
+        jax.block_until_ready(out)
+        t0 = _t.time()
+        out, log_z, stats = run()
+        float(jnp.sum(out[..., 0, 0]))
+        wall = _t.time() - t0
+        es = np.asarray(qmc.best_slice_energy(problem, out))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            n_steps=stats["n_steps"],
+            reached=stats["reached"],
+            families=stats["families"],
+            min_ess_frac=float(stats["ess"].min()) / R_Q
+            if stats["n_steps"] else None,
+            wall_s=round(wall, 3),
+            replicas=R_Q, slices=P_Q,
+        )
+
+    pa_ad = record("opt_paq_adaptive", arm_paq_adaptive)
+
+    # equal-wall plain PIQMC rematches (same population, no resampling)
+    def arm_piqmc_eq(target_wall):
+        confs = jnp.where(
+            jax.random.bernoulli(k_q, 0.5, (R_Q, P_Q, n)), 1.0, -1.0
+        )
+
+        def run(tau, seed):
+            a = schedules.transverse_field(2.5, 1e-8, tau)
+            return qmc.anneal(
+                problem, a, jnp.ones_like(a), pt_temp, confs,
+                jax.random.fold_in(k_q, 500 + seed), global_moves=True,
+            )
+
+        # measure the per-step wall, then match the PA arm's wall
+        out, w0 = timed(lambda seed: run(S_Q, seed))
+        tau_eq = max(S_Q, int(S_Q * target_wall / max(w0, 1e-9)))
+        if tau_eq > S_Q:
+            out, _ = timed(lambda seed: run(tau_eq, seed))
+        es = np.asarray(qmc.best_slice_energy(problem, out))
+        return dict(
+            eps_best=float((es.min() - e_gs) / n),
+            eps_mean=float((es.mean() - e_gs) / n),
+            tau=int(tau_eq),
+            wall_baseline_s=w0,
+        )
+
     if p:
-        def arm_piqmc_eq():
-            confs = jnp.where(
-                jax.random.bernoulli(k_q, 0.5, (R_Q, P_Q, n)), 1.0, -1.0
-            )
-
-            def run(tau, seed):
-                a = schedules.transverse_field(2.5, 1e-8, tau)
-                return qmc.anneal(
-                    problem, a, jnp.ones_like(a), pt_temp, confs,
-                    jax.random.fold_in(k_q, 500 + seed), global_moves=True,
-                )
-
-            # measure the per-step wall, then match PA x PIQMC's wall
-            out, w0 = timed(lambda seed: run(S_Q, seed))
-            tau_eq = max(S_Q, int(S_Q * p["wall_s"] / max(w0, 1e-9)))
-            if tau_eq > S_Q:
-                out, _ = timed(lambda seed: run(tau_eq, seed))
-            es = np.asarray(qmc.best_slice_energy(problem, out))
-            return dict(
-                eps_best=float((es.min() - e_gs) / n),
-                eps_mean=float((es.mean() - e_gs) / n),
-                tau=int(tau_eq),
-                wall_baseline_s=w0,
-            )
-
-        record("opt_piqmc_equalwall_for_paq", arm_piqmc_eq)
+        record("opt_piqmc_equalwall_for_paq",
+               lambda: arm_piqmc_eq(p["wall_s"]))
+    if pa_ad:
+        record("opt_piqmc_equalwall_for_paq_adaptive",
+               lambda: arm_piqmc_eq(pa_ad["wall_s"]))
 
 
 def main(outdir="results/pa_value", budget_s=1200):

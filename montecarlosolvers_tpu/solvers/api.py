@@ -75,9 +75,13 @@ _METHOD_KW = {
 def _auto_ladder(n, t_min, t_max):
     """Rung count so adjacent rungs' energy distributions overlap: rung
     ratio - 1 must scale like 1/sqrt(N) (see pt.geometric_ladder).
-    Measured anchor: 48 rungs over [0.5, 2.5] at N = 6400 gives swap
-    rate 0.34 -> c ~ 2.5 targets the 20-60% band. A fixed rung count
-    collapses to ~0 exchange at large N."""
+    c = 2.5 is calibrated by a measured table, not one anchor
+    (results/ladder_calibration, v5e 2026-08-20): the auto-sized ladder
+    lands swap rates 0.37-0.46 at N in {256, 1024, 6400, 16384} on 2D
+    Gaussian lattices AND N in {256, 1024, 2048} on SK — every point
+    inside the 20-60% target band (tests/test_api.py asserts the band
+    at the CPU-sized points). A fixed rung count collapses to ~0
+    exchange at large N."""
     return max(4, int(np.ceil(
         np.log(t_max / t_min) * np.sqrt(n) / 2.5
     )) + 1)

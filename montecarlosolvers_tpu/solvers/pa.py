@@ -288,38 +288,43 @@ def _run_adaptive(problem, beta_end, state_in, key, max_steps, mcsteps,
         state, logw, log_z, beta, anc = carry
         k_rs, k_sweep = jax.random.split(k)
         done = beta >= beta_end
-        e = _energy(state).astype(jnp.float32)
-        db = jnp.where(
-            done, 0.0,
-            _solve_dbeta(logw, e, jnp.maximum(beta_end - beta, 0.0),
-                         target_ess),
-        )
-        beta = beta + db
-        logw = logw - db * e
-        c = logsumexp(logw) - log_r
-        log_z = log_z + c
-        logw = logw - c
-        ess = _ess_of(logw)
-        if resample == "systematic":
-            idx = _systematic_indices(k_rs, jnp.exp(logw - log_r))
-        else:
-            idx = jax.random.categorical(k_rs, logw, shape=(r,))
-        do_rs = ~done  # adaptive protocol resamples every live step
-        idx = jnp.where(do_rs, idx, jnp.arange(r))
-        state = _permute(state, idx)
-        anc = anc[idx]
-        logw = jnp.where(do_rs, jnp.zeros_like(logw), logw)
 
-        def sweeps(state):
+        # the ENTIRE live step sits under the cond: once beta_end is
+        # reached, padded scan steps cost ~nothing (measured: leaving
+        # the O(R*N) energy readout outside the cond made the padded
+        # tail dominate the wall at max_steps >> n_steps)
+        def live(args):
+            state, logw, log_z, beta, anc = args
+            e = _energy(state).astype(jnp.float32)
+            db = _solve_dbeta(
+                logw, e, jnp.maximum(beta_end - beta, 0.0), target_ess
+            )
+            beta = beta + db
+            logw = logw - db * e
+            c = logsumexp(logw) - log_r
+            log_z = log_z + c
+            logw = logw - c
+            ess = _ess_of(logw)
+            if resample == "systematic":
+                idx = _systematic_indices(k_rs, jnp.exp(logw - log_r))
+            else:
+                idx = jax.random.categorical(k_rs, logw, shape=(r,))
+            state = _permute(state, idx)
+            anc = anc[idx]
+            logw = jnp.zeros_like(logw)
             t = 1.0 / jnp.maximum(beta, 1e-30)
             for i in range(mcsteps):
                 state = _sweep(state, jax.random.fold_in(k_sweep, i), t)
-            return state
+            return (state, logw, log_z, beta, anc), (beta, ess, e.mean())
 
-        # finished-side steps skip the sweeps entirely (scan length is
-        # static; the cond keeps the padded tail nearly free)
-        state = jax.lax.cond(done, lambda s: s, sweeps, state)
-        return (state, logw, log_z, beta, anc), (beta, ess, e.mean(), done)
+        def dead(args):
+            state, logw, log_z, beta, anc = args
+            return args, (beta, jnp.float32(r), jnp.float32(0.0))
+
+        carry, stats = jax.lax.cond(
+            done, dead, live, (state, logw, log_z, beta, anc)
+        )
+        return carry, stats + (done,)
 
     anc0 = jnp.arange(r, dtype=jnp.int32)
     keys = jax.random.split(key, max_steps)
@@ -570,6 +575,167 @@ def sample_piqmc(problem, gammas, temp, confs, key, mcsteps=1, b=1.0,
         return out, log_z, {"ess": ess, "resampled": rs,
                             "families": families}
     return out, log_z
+
+
+@partial(jax.jit, static_argnames=("max_steps", "mcsteps", "resample",
+                                   "global_moves"))
+def _run_piqmc_adaptive(problem, jp_end, temp, confs_in, key, max_steps,
+                        mcsteps, resample, target_frac, jp0, b,
+                        global_moves):
+    from montecarlosolvers_tpu.ops import piqmc as piqmc_ops
+
+    r = confs_in.shape[0]
+    slices = confs_in.shape[-2]
+    teff = temp * slices
+    log_r = jnp.float32(np.log(r))
+    target_ess = target_frac * r
+
+    use_split = split_ops.supports_split(problem, slices)
+    if use_split:
+        sl = split_ops.build_split(problem)
+        state = split_ops.pack_qmc(sl, confs_in)
+
+        def _sweep(state, k1, k3, gamma):
+            g_rep = jnp.full((r,), gamma)
+            state = split_ops.qmc_split_sweep(sl, *state, k1, temp, g_rep, b)
+            if global_moves:
+                state = split_ops.qmc_split_global(sl, *state, k3, temp, b)
+            return state
+
+        def _kin(state):
+            return split_ops.qmc_split_kinetic(sl, *state)
+
+        def _permute(state, idx):
+            return tuple(x[idx] for x in state)
+
+        def _unpack(state):
+            return split_ops.unpack_qmc(sl, *state)
+    else:
+        state = confs_in
+
+        def _sweep(confs, k1, k3, gamma):
+            ks = jax.random.split(k1, r)
+            confs = jax.vmap(
+                lambda c, kk: piqmc_ops.local_sweep(
+                    problem, c, kk, temp, gamma, b
+                )
+            )(confs, ks)
+            if global_moves:
+                confs = piqmc_ops.global_line_moves(problem, confs, k3,
+                                                    temp, b)
+            return confs
+
+        def _kin(confs):
+            return jnp.sum(
+                confs * jnp.roll(confs, -1, axis=-2), axis=(-1, -2)
+            )
+
+        _permute = lambda s, idx: s[idx]  # noqa: E731
+        _unpack = lambda s: s  # noqa: E731
+
+    def body(carry, k):
+        state, logw, log_z, jp, anc = carry
+        k_rs, k1, k3 = jax.random.split(k, 3)
+        done = jp >= jp_end
+
+        # whole live step under the cond (see _run_adaptive): padded
+        # steps past jp_end cost ~nothing
+        def live(args):
+            state, logw, log_z, jp, anc = args
+            kk = _kin(state).astype(jnp.float32)
+            # dlogw = +djp * K / teff: linear in jp, so the classical-PA
+            # bisection applies verbatim with e := -K / teff
+            djp = _solve_dbeta(logw, -kk / teff,
+                               jnp.maximum(jp_end - jp, 0.0), target_ess)
+            jp = jp + djp
+            logw = logw + djp * kk / teff
+            c = logsumexp(logw) - log_r
+            log_z = log_z + c
+            logw = logw - c
+            ess = _ess_of(logw)
+            if resample == "systematic":
+                idx = _systematic_indices(k_rs, jnp.exp(logw - log_r))
+            else:
+                idx = jax.random.categorical(k_rs, logw, shape=(r,))
+            state = _permute(state, idx)
+            anc = anc[idx]
+            logw = jnp.zeros_like(logw)
+            # Gamma of the new rung: jp = -(teff/2) ln tanh(G/teff)
+            # inverts to G = teff * atanh(exp(-2 jp / teff))
+            gamma = teff * jnp.arctanh(
+                jnp.clip(jnp.exp(-2.0 * jp / teff), 1e-30, 1.0 - 1e-7)
+            )
+            for i in range(mcsteps):
+                state = _sweep(state, jax.random.fold_in(k1, i),
+                               jax.random.fold_in(k3, i), gamma)
+            return (state, logw, log_z, jp, anc), (jp, ess)
+
+        def dead(args):
+            state, logw, log_z, jp, anc = args
+            return args, (jp, jnp.float32(r))
+
+        carry, stats = jax.lax.cond(
+            done, dead, live, (state, logw, log_z, jp, anc)
+        )
+        return carry, stats + (done,)
+
+    anc0 = jnp.arange(r, dtype=jnp.int32)
+    keys = jax.random.split(key, max_steps)
+    (state, logw, log_z, jp, anc), (jps, ess, done) = jax.lax.scan(
+        body,
+        (state, jnp.zeros((r,), jnp.float32), jnp.float32(0.0),
+         jnp.float32(jp0), anc0),
+        keys,
+    )
+    return _unpack(state), log_z, anc, jps, ess, done
+
+
+def sample_piqmc_adaptive(problem, gamma_start, gamma_end, temp, confs, key,
+                          target_frac=0.9, mcsteps=1, max_steps=400, b=1.0,
+                          resample="systematic", global_moves=False):
+    """Adaptive-step quantum PA: anneal the transverse field from
+    gamma_start to gamma_end choosing each step ON-DEVICE so the
+    incremental ESS holds `target_frac * R` — the Gamma-space analog of
+    sample_adaptive, using that the extended-ensemble reweighting is
+    LINEAR in J_perp (dlogw = dJp * K / T_eff), so the same bisection
+    applies with e := -K/T_eff, and stepping uniformly in achieved ESS
+    rather than in Gamma. J_perp inverts to Gamma in closed form
+    (G = T_eff * atanh(exp(-2 Jp / T_eff))) for the sweeps.
+
+    Motivation (results/pa_value round 5): a FIXED 1000-step Gamma grid
+    at benchmark scale collapses the population (min ESS 0.4%) — the
+    kinetic-term spread across replicas makes uniform Gamma steps wildly
+    non-uniform in ensemble distance. The adaptive grid is the
+    principled schedule; its step count is then an honest measurement of
+    how expensive exact extended-ensemble tracking IS at a given size.
+
+    Returns (confs, log_z, stats) with stats = {"jps": traversed J_perp
+    grid, "ess": per-step ESS, "n_steps": int, "reached": bool,
+    "families": int}.
+    """
+    slices = confs.shape[-2]
+    teff = temp * slices
+    jp0 = float(sched_mod.jperp(jnp.float32(gamma_start), teff))
+    jp_end = float(sched_mod.jperp(jnp.float32(gamma_end), teff))
+    if jp_end < jp0:
+        raise ValueError(
+            "annealing direction must increase J_perp (decrease Gamma)"
+        )
+    out, log_z, anc, jps, ess, done = _run_piqmc_adaptive(
+        problem, jnp.float32(jp_end), temp, confs, key, int(max_steps),
+        int(mcsteps), resample, jnp.float32(target_frac),
+        jnp.float32(jp0), b, bool(global_moves),
+    )
+    done = np.asarray(done)
+    n_steps = int((~done).sum())
+    stats = {
+        "jps": np.asarray(jps)[:n_steps],
+        "ess": np.asarray(ess)[:n_steps],
+        "n_steps": n_steps,
+        "reached": bool(n_steps < int(max_steps)),
+        "families": int(np.unique(np.asarray(anc)).size),
+    }
+    return out, log_z, stats
 
 
 def merge_populations(states_list, log_zs, key, r_out=None):

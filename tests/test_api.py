@@ -171,6 +171,30 @@ class TestPTAutoLadder:
                      ladder=5)
         assert "ladder" not in res2.info
 
+    def test_auto_ladder_swap_rate_in_band(self):
+        """The 20-60% swap-rate band the rule targets, asserted at the
+        CPU-sized points of the measured table (results/
+        ladder_calibration: 0.37-0.46 across N=256..16384 lattice and
+        N=256..2048 SK on v5e)."""
+        import jax
+
+        from montecarlosolvers_tpu.models import instances
+        from montecarlosolvers_tpu.solvers import sa as sa_m, pt as pt_m
+        from montecarlosolvers_tpu.solvers.api import _auto_ladder
+
+        for build, n in (
+            (lambda: instances.random_2d_lattice(16, rng=16, lattice=True)[0],
+             256),
+            (lambda: instances.sk_model(128, rng=128)[0], 128),
+        ):
+            problem = build()
+            m = _auto_ladder(n, 0.5, 2.5)
+            temps = pt_m.geometric_ladder(0.5, 2.5, m)
+            s0 = sa_m.random_state(jax.random.key(n), n, batch=(m,))
+            _, rate = pt_m.sample(problem, temps, s0, jax.random.key(n),
+                                  200, swap_every=2)
+            assert 0.2 <= float(rate) <= 0.6, (n, m, float(rate))
+
 
 class TestICMMethod:
     def test_icm_reaches_ground_state_and_records_rates(self, prob):

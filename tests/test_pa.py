@@ -393,3 +393,38 @@ class TestQuantumPA:
         assert np.isclose(e_min, e_gs, atol=1e-3), (e_min, e_gs)
         assert 1 <= stats["families"] <= r
         assert stats["ess"].shape == (120,)
+
+    def test_adaptive_quantum_log_z_matches_exact(self):
+        """sample_piqmc_adaptive: the ESS-targeted Gamma grid must
+        traverse [G_hi, G_lo] exactly and keep the extended-ensemble
+        ln Z estimator enumeration-unbiased."""
+        from montecarlosolvers_tpu.solvers import qmc
+
+        prob = self._tiny()
+        P, temp = 3, 0.6
+        g_hi, g_lo = 2.0, 0.6
+        r = 4096
+        key = jax.random.key(40)
+        confs = jnp.where(
+            jax.random.bernoulli(key, 0.5, (r, P, prob.nspins)), 1.0, -1.0
+        )
+        a_burn = jnp.full((60,), g_hi, jnp.float32)
+        confs = qmc.anneal(prob, a_burn, jnp.ones_like(a_burn), temp,
+                           confs, jax.random.key(41))
+        out, log_z, stats = pa.sample_piqmc_adaptive(
+            prob, g_hi, g_lo, temp, confs, jax.random.key(42),
+            target_frac=0.9, mcsteps=2, max_steps=200,
+        )
+        assert stats["reached"]
+        assert np.all(np.diff(stats["jps"]) >= 0)
+        assert np.all(stats["ess"][:-1] >= 0.9 * r * 0.97)
+        exact = (self._exact_ext_log_z(prob, g_lo, temp, P)
+                 - self._exact_ext_log_z(prob, g_hi, temp, P))
+        assert abs(float(log_z) - exact) < 0.05, (float(log_z), exact)
+
+    def test_adaptive_quantum_rejects_wrong_direction(self):
+        prob = self._tiny()
+        confs = jnp.ones((8, 3, prob.nspins))
+        with np.testing.assert_raises(ValueError):
+            pa.sample_piqmc_adaptive(prob, 0.5, 2.0, 0.6, confs,
+                                     jax.random.key(0))
