@@ -56,7 +56,7 @@ from montecarlosolvers_tpu.bench._common import make_recorder
 
 L_SIZES = (8, 10, 12, 14)
 SEEDS_BY_L = {8: (0, 1, 2, 3, 4), 10: (0, 1, 2, 3, 4),
-              12: (0, 1, 2, 3, 4), 14: (0, 1, 2)}
+              12: (0, 1, 2, 3, 4), 14: (0, 1, 2, 3, 4)}
 RUNGS = 24
 SEG = 500            # sweeps per segment (one device dispatch)
 # deeper runs for the harder sizes (per-L segment count)
