@@ -18,8 +18,32 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache (repo-local .xla_cache, gitignored):
+# warm re-runs compile far less, and fewer in-process compiles also
+# lowers the exposure to a rare XLA-CPU compiler segfault observed once
+# ~75% into a monolithic cold suite run (round 5; every chunk passed on
+# re-run). Cache entries are keyed by HLO hash — stale entries are
+# misses, never wrong results.
+from montecarlosolvers_tpu.utils.xla_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_jax_caches():
+    """Reset jax's in-process executable caches between test modules.
+
+    A monolithic suite run accumulates ~500 compiled executables in one
+    process and twice segfaulted inside an XLA-CPU compile at the same
+    ~75% point (rc=139, backend_compile_and_load; the same module passes
+    standalone and in chunked runs). Clearing per module bounds the
+    in-process state, and with the persistent disk cache above the
+    re-loads cost ~0.2 s instead of recompiles."""
+    jax.clear_caches()
+    yield
 
 
 @pytest.fixture
