@@ -68,7 +68,7 @@ CADENCES_BY_L = {8: (2, 8, 32), 10: (2, 8, 32), 12: (2, 8, 32),
 # independent repetitions per (instance, arm): ground-state hitting times
 # are heavy-tailed, so single runs flip-flop between winners; the verdict
 # aggregates PAIRED (icm, pt) hitting times over seeds x reps
-REPS = {8: 1, 10: 3, 12: 5, 14: 2}
+REPS = {8: 1, 10: 3, 12: 5, 14: 3}
 T_COLD, T_HOT = 0.3, 1.6
 
 
